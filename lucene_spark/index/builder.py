@@ -1,0 +1,578 @@
+"""Distributed inverted-index build (the Spark re-architecture of the
+reference's Writer/DocumentWriter/SegmentMerger pipeline).
+
+Shape of the build (designed for 10^12 turns / 1000 executors; tested on
+local[32]):
+
+1. ``assign_doc_ids`` — dense global docIDs by (conv_id, turn_idx)
+   WITHOUT a single-partition window: repartitionByRange + per-partition
+   counts collected to the driver (S integers) + offset-shifted local
+   row numbers. Reference docID semantics: insertion order
+   (src/Index.php:866-873,944-949); here insertion order IS the stable
+   (conv_id, turn_idx) ordering demanded by the input contract.
+
+2. Phase A (segments ≙ reference segment flush, DocumentWriter.php):
+   docs are bucketed into doc-range-disjoint segments
+   (``seg_id = doc_id // seg_size``); each segment is inverted locally
+   inside one ``applyInPandas`` task — tokenize (vectorized), group by
+   (field, term), pack posting blocks of ≤128 docs as delta+varbyte
+   BINARY columns with per-block metadata (max_docid, block_max_tf,
+   block_min_dl) ≙ the reference's ``.frq``/``.prx`` streams plus the
+   skip/block-max extension the north rule asks for (the reference
+   declares but never writes skip data — AbstractSegmentWriter.php:33-57).
+   Per-doc field length (dl) is packed into each block so BM25 scoring
+   never joins the docs table. Each chunk of segments commits a manifest
+   row (lineage + token/posting counts) — a killed build resumes by
+   skipping segments whose manifest row exists.
+
+3. Phase B (merge ≙ SegmentMerger k-way merge, SegmentMerger.php:202-245):
+   because segments are doc-range DISJOINT, merging posting blocks is a
+   pure SORT — ``repartitionByRange(field, term, doc_base)`` +
+   ``sortWithinPartitions`` — with NO groupBy over postings at all.
+   Spark's range partitioner samples keys, so a hot term's blocks
+   (stop-word-scale: 10^10+ postings) automatically SPLIT across
+   consecutive partitions at (term, doc_base) boundaries — this is the
+   "salted repartition for hot-term skew" of the north rule, with
+   per-salt docID ranges disjoint by construction so concatenation needs
+   no re-sort. The term dictionary aggregates only tiny per-segment
+   (df, cf) counters (groupBy on (field, term) of S rows/term, never
+   posting-sized data).
+
+Storage layout under ``index_dir``::
+
+    docs/        doc_id + stored cols + len_<f>/norm_<f> per text field
+    postings/    field, term, seg_id, block_id, doc_base, max_docid,
+                 n, block_max_tf, block_min_dl, cf, docs_bin, tfs_bin,
+                 dls_bin, pos_bin   (sorted by field, term, doc_base)
+    term_dict/   field, term, df, cf, n_blocks, max_tf
+    manifests/   seg_id, n_docs, n_postings, lineage, per-field token sums
+    stats.json   n_docs, per-field {sum_len, n_docs_with_field}, config
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lucene_spark.analysis import Analyzer, default_analyzer
+from lucene_spark.codec.norms import encode_norm_array, length_norm
+from lucene_spark.codec.varbyte import vb_encode
+
+BLOCK_SIZE = 128  # docs per posting block ≙ reference indexInterval
+# (AbstractSegmentWriter.php:30)
+
+
+@dataclass
+class IndexConfig:
+    # field -> 'text' | 'keyword' | 'stored'
+    field_policy: dict[str, str] = dc_field(
+        default_factory=lambda: {
+            "text": "text",
+            "conv_id": "keyword",
+            "role": "keyword",
+            "tool": "keyword",
+        }
+    )
+    analyzer: Analyzer = dc_field(default_factory=default_analyzer)
+    seg_size: int = 100_000  # docs per segment
+    segments_per_commit: int = 64  # manifest checkpoint granularity
+    store_positions: bool = True
+    merge_partitions: int | None = None  # default: shuffle.partitions
+
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("field", StringType()),
+        StructField("term", StringType()),
+        StructField("seg_id", LongType()),
+        StructField("block_id", LongType()),
+        StructField("doc_base", LongType()),
+        StructField("max_docid", LongType()),
+        StructField("n", IntegerType()),
+        StructField("block_max_tf", IntegerType()),
+        StructField("block_min_dl", IntegerType()),
+        StructField("cf", LongType()),
+        StructField("docs_bin", BinaryType()),
+        StructField("tfs_bin", BinaryType()),
+        StructField("dls_bin", BinaryType()),
+        StructField("pos_bin", BinaryType()),
+    ]
+)
+
+
+def assign_doc_ids(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Dense 0-based doc_id by ``order_cols`` without a global window.
+
+    Scale note: a naive ``row_number() over (order by ...)`` collapses to
+    ONE partition. Here: range-repartition on the order columns (global
+    sort boundaries), count rows per partition (a tiny collect of S
+    longs), then add the per-partition offset to a local row number —
+    every step is fully parallel.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ordered = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *order_cols
+    )
+    ordered = ordered.withColumn("_pid", F.spark_partition_id())
+    # persist: the range partitioner SAMPLES to pick boundaries — the
+    # count job and the id job must see the SAME partitioning, so pin it
+    ordered = ordered.persist()
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_b = spark.sparkContext.broadcast(offsets)
+
+    schema = StructType(
+        ordered.schema.fields + [StructField("doc_id", LongType(), False)]
+    )
+
+    # mapInPandas may split a partition into several Arrow batches; the
+    # running offset must persist across batches within one partition
+    def add_ids(it):
+        seen = 0
+        base = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets_b.value[int(pdf["_pid"].iloc[0])]
+            yield pdf.assign(
+                doc_id=np.arange(seen, seen + len(pdf), dtype=np.int64) + base
+            )
+            seen += len(pdf)
+
+    out = ordered.mapInPandas(add_ids, schema)
+    return out.drop("_pid")
+
+
+def _invert_segment(cfg: IndexConfig):
+    """applyInPandas kernel: one segment's docs → packed posting blocks.
+
+    All numpy over flattened token arrays — no per-row Python in the
+    inner loops beyond regex findall (C-looped by pandas).
+    """
+    analyzer = cfg.analyzer
+    policy = cfg.field_policy
+    store_pos = cfg.store_positions
+
+    def invert(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg_id = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        doc_ids_all = pdf["doc_id"].to_numpy(np.int64)
+        out_rows = []
+        for fname, kind in policy.items():
+            if kind == "stored" or fname not in pdf.columns:
+                continue
+            if kind == "keyword":
+                vals = pdf[fname]
+                mask = vals.notna().to_numpy()
+                terms = vals[mask].astype(str).to_numpy(dtype=object)
+                docs = doc_ids_all[mask]
+                tfs = np.ones(len(docs), dtype=np.int64)
+                dls = np.ones(len(docs), dtype=np.int64)
+                pos = np.zeros(len(docs), dtype=np.int64)  # position 0
+                # (reference: keyword term at position 0, DocumentWriter.php:116-132)
+            else:
+                tok_lists = analyzer.tokenize_series(pdf[fname])
+                lens = tok_lists.map(len).to_numpy(np.int64)
+                if lens.sum() == 0:
+                    continue
+                row_idx = np.repeat(np.arange(len(pdf)), lens)
+                terms = np.concatenate(
+                    [np.asarray(x, dtype=object) for x in tok_lists if x]
+                )
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                positions = (
+                    np.arange(ends[-1], dtype=np.int64)
+                    - np.repeat(starts, lens)
+                    + 1
+                )
+                docs = doc_ids_all[row_idx]
+                dls = lens[row_idx]  # per-token doc length (field len)
+                tfs = None  # computed after grouping
+                pos = positions
+
+            if len(docs) == 0:
+                continue
+            if kind == "keyword":
+                # one token per doc; group by term
+                order = np.lexsort((docs, terms.astype(str)))
+                g_terms, g_docs, g_tfs, g_dls, g_pos = (
+                    terms[order],
+                    docs[order],
+                    tfs[order],
+                    dls[order],
+                    pos[order].astype(np.int64),
+                )
+                pos_counts = g_tfs
+            else:
+                # sort by (term, doc, position) then collapse equal
+                # (term, doc) runs into tf counts
+                t_str = terms.astype(str)
+                order = np.lexsort((pos, docs, t_str))
+                t_s, d_s, p_s, dl_s = (
+                    t_str[order],
+                    docs[order],
+                    pos[order],
+                    dls[order],
+                )
+                new_run = np.empty(len(t_s), dtype=bool)
+                new_run[0] = True
+                new_run[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+                run_ids = np.cumsum(new_run) - 1
+                run_starts = np.flatnonzero(new_run)
+                g_terms = t_s[run_starts]
+                g_docs = d_s[run_starts]
+                g_dls = dl_s[run_starts]
+                g_tfs = np.bincount(run_ids).astype(np.int64)
+                g_pos = p_s  # all positions, concatenated per (term, doc)
+                pos_counts = g_tfs
+
+            # block packing: for each term, split its postings into
+            # blocks of <= BLOCK_SIZE docs
+            term_change = np.empty(len(g_terms), dtype=bool)
+            term_change[0] = True
+            term_change[1:] = g_terms[1:] != g_terms[:-1]
+            term_starts = np.flatnonzero(term_change)
+            run_lens = np.diff(np.append(term_starts, len(g_terms)))
+            idx_in_term = np.arange(len(g_terms)) - np.repeat(term_starts, run_lens)
+            block_of = idx_in_term // BLOCK_SIZE
+            blk_change = term_change | (
+                np.diff(np.append(-1, block_of)) != 0
+            )
+            blk_ids = np.cumsum(blk_change) - 1
+            blk_starts = np.flatnonzero(blk_change)
+            blk_ends = np.append(blk_starts[1:], len(g_terms))
+            # positions offsets per (term,doc) run
+            pos_ends = np.cumsum(pos_counts)
+            pos_starts = pos_ends - pos_counts
+
+            for b in range(len(blk_starts)):
+                s, e = blk_starts[b], blk_ends[b]
+                term = g_terms[s]
+                d = g_docs[s:e]
+                t = g_tfs[s:e]
+                dl = g_dls[s:e]
+                base = int(d[0]) - 1
+                docs_bin = vb_encode(np.diff(d, prepend=np.int64(base)).astype(np.uint64))
+                tfs_bin = vb_encode(t.astype(np.uint64))
+                dls_bin = vb_encode(dl.astype(np.uint64))
+                if store_pos and kind == "text":
+                    ps, pe = pos_starts[s], pos_ends[e - 1]
+                    p = g_pos[ps:pe].astype(np.int64)
+                    gaps = np.diff(p, prepend=np.int64(0))
+                    rs = (pos_starts[s:e] - pos_starts[s]).astype(np.int64)
+                    gaps[rs] = p[rs]
+                    pos_bin = vb_encode(gaps.astype(np.uint64))
+                elif store_pos and kind == "keyword":
+                    pos_bin = vb_encode(np.zeros(len(d), dtype=np.uint64))
+                else:
+                    pos_bin = b""
+                out_rows.append(
+                    (
+                        fname,
+                        str(term),
+                        seg_id,
+                        int(blk_ids[s]),
+                        int(d[0]),
+                        int(d[-1]),
+                        int(e - s),
+                        int(t.max()),
+                        int(dl.min()),
+                        int(t.sum()),
+                        docs_bin,
+                        tfs_bin,
+                        dls_bin,
+                        pos_bin,
+                    )
+                )
+        return pd.DataFrame(
+            out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields]
+        )
+
+    return invert
+
+
+def _docs_with_lengths(df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Add len_<f> (surviving-token count) and norm_<f> (quantized byte)
+    per indexed field. Vectorized in one mapInPandas pass."""
+    text_fields = [f for f, k in cfg.field_policy.items() if k == "text"]
+    kw_fields = [f for f, k in cfg.field_policy.items() if k == "keyword"]
+    analyzer = cfg.analyzer
+
+    new_fields = []
+    for f in text_fields + kw_fields:
+        new_fields.append(StructField(f"len_{f}", LongType()))
+        new_fields.append(StructField(f"norm_{f}", IntegerType()))
+    schema = StructType(df.schema.fields + new_fields)
+
+    def add_lens(it):
+        for pdf in it:
+            out = pdf.copy()
+            for f in text_fields:
+                lens = analyzer.tokenize_series(pdf[f]).map(len).to_numpy(np.int64)
+                norms = encode_norm_array(length_norm(lens))
+                # empty tokenized field → not indexed → norm byte 0
+                # (reference: DocumentWriter.php:101-104, missing-field norm)
+                norms = np.where(lens == 0, 0, norms)
+                out[f"len_{f}"] = lens
+                out[f"norm_{f}"] = norms.astype(np.int32)
+            for f in kw_fields:
+                present = pdf[f].notna().to_numpy()
+                out[f"len_{f}"] = present.astype(np.int64)
+                out[f"norm_{f}"] = np.where(
+                    present, int(encode_norm_array(np.array([1.0]))[0]), 0
+                ).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(add_lens, schema)
+
+
+def build_index(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    order_cols: list[str] | None = None,
+    resume: bool = True,
+) -> "SparkIndex":
+    """End-to-end build: docs → segments (resumable) → merge → publish."""
+    cfg = cfg or IndexConfig()
+    docs_path = os.path.join(index_dir, "docs")
+    seg_path = os.path.join(index_dir, "segments")
+    manifest_path = os.path.join(index_dir, "manifests")
+    postings_path = os.path.join(index_dir, "postings")
+    dict_path = os.path.join(index_dir, "term_dict")
+    stats_path = os.path.join(index_dir, "stats.json")
+
+    # ---- docs table (doc ids + lengths + norms) ----
+    if not (resume and os.path.exists(os.path.join(docs_path, "_SUCCESS"))):
+        if "doc_id" not in df.columns:
+            df = assign_doc_ids(df, order_cols or ["conv_id", "turn_idx"])
+        docs = _docs_with_lengths(df, cfg)
+        docs.write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+
+    # ---- phase A: per-segment inversion, manifest-checkpointed ----
+    done: set[int] = set()
+    if resume and os.path.exists(os.path.join(manifest_path, "_SUCCESS")):
+        done = {
+            r["seg_id"] for r in spark.read.parquet(manifest_path).collect()
+        }
+    # purge orphan segment data (written but never manifested — a build
+    # killed between block write and manifest commit) so resume can't
+    # append duplicates
+    if os.path.isdir(seg_path):
+        import shutil
+
+        for entry in os.listdir(seg_path):
+            if entry.startswith("seg_id="):
+                sid = int(entry.split("=", 1)[1])
+                if sid not in done:
+                    shutil.rmtree(os.path.join(seg_path, entry))
+    with_seg = docs.withColumn(
+        "seg_id", (F.col("doc_id") / F.lit(cfg.seg_size)).cast("long")
+    )
+    all_segs = sorted(
+        r["seg_id"] for r in with_seg.select("seg_id").distinct().collect()
+    )
+    pending = [s for s in all_segs if s not in done]
+    invert = _invert_segment(cfg)
+    for i in range(0, len(pending), cfg.segments_per_commit):
+        chunk = pending[i : i + cfg.segments_per_commit]
+        part = with_seg.where(F.col("seg_id").isin([int(s) for s in chunk]))
+        blocks = part.groupBy("seg_id").applyInPandas(invert, POSTINGS_SCHEMA)
+        blocks.write.mode("append").partitionBy("seg_id").parquet(seg_path)
+        # manifest row per segment: lineage + counts (the resume unit)
+        m = (
+            spark.read.parquet(seg_path)
+            .withColumn("seg_id", F.col("seg_id").cast("long"))
+            .where(F.col("seg_id").isin([int(s) for s in chunk]))
+            .groupBy("seg_id")
+            .agg(
+                F.sum("n").alias("n_postings"),
+                F.sum("cf").alias("n_tokens"),
+                F.min("doc_base").alias("min_doc_id"),
+                F.max("max_docid").alias("max_doc_id"),
+                F.count("*").alias("n_blocks"),
+            )
+            .withColumn("lineage", F.lit(f"docs_parquet:{docs_path}"))
+        )
+        m.write.mode("append").parquet(manifest_path)
+
+    # ---- phase B: global merge (pure sort — see module docstring) ----
+    seg_blocks = spark.read.parquet(seg_path).withColumn(
+        "seg_id", F.col("seg_id").cast("long")
+    )
+    n_merge = cfg.merge_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    merged = seg_blocks.repartitionByRange(
+        n_merge, "field", "term", "doc_base"
+    ).sortWithinPartitions("field", "term", "doc_base")
+    merged.write.mode("overwrite").parquet(postings_path)
+
+    # ---- term dictionary (tiny rows: S per term, not posting-sized) ----
+    td = (
+        seg_blocks.groupBy("field", "term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.count("*").alias("n_blocks"),
+            F.max("block_max_tf").alias("max_tf"),
+        )
+        .repartitionByRange(max(1, n_merge // 4), "field", "term")
+        .sortWithinPartitions("field", "term")
+    )
+    td.write.mode("overwrite").parquet(dict_path)
+
+    # ---- stats ----
+    text_like = [
+        f for f, k in cfg.field_policy.items() if k in ("text", "keyword")
+    ]
+    aggs = []
+    for f in text_like:
+        aggs.append(F.sum(F.col(f"len_{f}")).alias(f"sum_len_{f}"))
+        aggs.append(
+            F.sum((F.col(f"len_{f}") > 0).cast("long")).alias(f"cnt_{f}")
+        )
+    row = docs.agg(F.count("*").alias("n_docs"), *aggs).collect()[0]
+    stats = {
+        "n_docs": row["n_docs"],
+        "fields": {
+            f: {
+                "kind": cfg.field_policy[f],
+                "sum_len": int(row[f"sum_len_{f}"] or 0),
+                "n_docs_with_field": int(row[f"cnt_{f}"] or 0),
+            }
+            for f in text_like
+        },
+        "block_size": BLOCK_SIZE,
+        "analyzer": {
+            "token_pattern": cfg.analyzer.token_pattern,
+            "lowercase": cfg.analyzer.lowercase,
+            "stop_words": sorted(cfg.analyzer.stop_words),
+            "min_length": cfg.analyzer.min_length,
+            "translit": cfg.analyzer.translit,
+        },
+    }
+    with open(stats_path, "w") as fh:
+        json.dump(stats, fh)
+
+    return load_index(spark, index_dir)
+
+
+def load_index(spark: SparkSession, index_dir: str) -> "SparkIndex":
+    return SparkIndex(spark, index_dir)
+
+
+class SparkIndex:
+    """Opened index: tables + IndexReader protocol for query compile."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            self.stats = json.load(fh)
+        a = self.stats["analyzer"]
+        self._analyzer = Analyzer(
+            a["token_pattern"],
+            lowercase=a["lowercase"],
+            stop_words=frozenset(a["stop_words"]),
+            min_length=a["min_length"],
+            translit=a["translit"],
+        )
+        self._default_field: str | None = None
+        self._df_cache: dict[tuple[str, str], int] = {}
+
+    # ---------------------------------------------- IndexReader protocol
+    @property
+    def n_docs(self) -> int:
+        return self.stats["n_docs"]
+
+    def field_names(self, indexed_only: bool = True) -> list[str]:
+        return sorted(self.stats["fields"].keys())
+
+    def set_default_search_field(self, f: str | None):
+        self._default_field = f
+
+    def default_search_field(self):
+        return self._default_field
+
+    def analyzer(self):
+        return self._analyzer
+
+    def prefetch_terms(self, terms) -> None:
+        """Batch-load df/cf for (field, text) pairs into the driver cache
+        with ONE filtered scan of term_dict (predicate pushdown on the
+        sorted term column → row-group pruning)."""
+        todo = [(t.field, t.text) for t in terms if (t.field, t.text) not in self._df_cache]
+        if not todo:
+            return
+        cond = None
+        for f, x in todo:
+            c = (F.col("field") == f) & (F.col("term") == x)
+            cond = c if cond is None else (cond | c)
+        rows = self.term_dict.where(cond).select("field", "term", "df").collect()
+        found = {(r["field"], r["term"]): r["df"] for r in rows}
+        for key in todo:
+            self._df_cache[key] = found.get(key, 0)
+
+    def has_term(self, term) -> bool:
+        return self.doc_freq(term) > 0
+
+    def doc_freq(self, term) -> int:
+        key = (term.field, term.text)
+        if key not in self._df_cache:
+            self.prefetch_terms([term])
+        return self._df_cache[key]
+
+    def terms_from(self, field: str, start: str = ""):
+        """Sorted term iterator for dictionary expansion (wildcard/fuzzy/
+        range). Pulls at most TERMS_PER_QUERY_LIMIT+1 rows per call via a
+        pushed-down range filter — never a full dictionary collect."""
+        from lucene_spark.search.query import TERMS_PER_QUERY_LIMIT
+
+        rows = (
+            self.term_dict.where(
+                (F.col("field") == field) & (F.col("term") >= start)
+            )
+            .orderBy("term")
+            .select("term")
+            .limit(TERMS_PER_QUERY_LIMIT + 2)
+            .collect()
+        )
+        for r in rows:
+            yield r["term"]
+
+    def avg_field_len(self, field: str) -> float:
+        fs = self.stats["fields"][field]
+        n = fs["n_docs_with_field"]
+        return fs["sum_len"] / n if n else 0.0

@@ -395,61 +395,10 @@ class _ClassicScorer:
         return 0.0
 
     def _phrase_freq(self, q: PhraseQuery, doc_id: int) -> float:
-        ix = self.ix
-        tp = [ix.term_positions(t)[doc_id] for t in q.terms]
-        if q.slop == 0:
-            # exact: walk rarest term's positions (Phrase.php:378-415)
-            low = min(range(len(q.terms)), key=lambda i: len(tp[i]))
-            freq = 0
-            for p in tp[low]:
-                ok = True
-                for i in range(len(q.terms)):
-                    if i == low:
-                        continue
-                    expected = p + (q.offsets[i] - q.offsets[low])
-                    if expected not in tp[i]:
-                        ok = False
-                        break
-                if ok:
-                    freq += 1
-            return float(freq)
-        # sloppy: candidate tuples + min-shift distance (Phrase.php:425-491)
-        phrase_queue: list[dict[int, int]] = [{}]
-        last_term: int | None = None
-        for term_id in range(len(q.terms)):
-            first_pass = True
-            for pos in tp[term_id]:
-                if first_pass:
-                    for cand in phrase_queue:
-                        cand[term_id] = pos
-                else:
-                    for cand in list(phrase_queue):
-                        if last_term is not None and abs(
-                            pos
-                            - cand[last_term]
-                            - (q.offsets[term_id] - q.offsets[last_term])
-                        ) > q.slop:
-                            continue
-                        new = dict(cand)
-                        new[term_id] = pos
-                        phrase_queue.append(new)
-                first_pass = False
-            last_term = term_id
-        freq = 0.0
-        for cand in phrase_queue:
-            min_distance = None
-            for shift in range(-q.slop, q.slop + 1):
-                distance = 0
-                start = next(iter(cand.values())) - q.offsets[0] + shift
-                for term_id in range(len(q.terms)):
-                    distance += abs(cand[term_id] - q.offsets[term_id] - start)
-                    if distance > q.slop:
-                        break
-                if min_distance is None or distance < min_distance:
-                    min_distance = distance
-            if min_distance is not None and min_distance <= q.slop:
-                freq += sloppy_freq(min_distance)
-        return freq
+        from lucene_spark.search.phrase import phrase_freq
+
+        tp = [self.ix.term_positions(t)[doc_id] for t in q.terms]
+        return phrase_freq(tp, q.offsets, q.slop)
 
 
 class _BM25Scorer:

@@ -1,0 +1,563 @@
+"""Query execution: primitive query tree → DataFrame program.
+
+The compile steps (parse → rewrite → optimize → weights) are driver-side
+pure Python shared with the model; THIS module turns the optimized tree
+into a declarative DataFrame plan that Catalyst executes:
+
+- leaf terms: ONE filtered scan of the postings table for ALL query
+  terms (filter pushed to parquet; postings are sorted by (field, term)
+  so row-group stats prune), then one Arrow-batched decode pass
+  (numpy varbyte) → rows (qid, doc_id, tf, dl[, positions])
+- boolean algebra: unions + a single groupBy(doc_id) per node computing
+  (sum score, matched count, required-matched count), plus a left-anti
+  join for prohibited clauses — Catalyst/AQE pick the physical join
+- scoring: literal weight constants computed on the driver from the
+  term dictionary (exactly the model's weight math), so the executor
+  emits pure column arithmetic (whole-stage codegen, no Python)
+- phrases: positions arrays joined per term, frequency computed by the
+  SAME python function the model uses (lucene_spark.search.phrase),
+  Arrow-batched
+- top-k: ORDER BY score DESC, doc_id ASC LIMIT k (Spark's TakeOrdered)
+
+Block-max pruning for single-term/OR BM25 top-k lives in
+``topk_term_pruned`` — it scans only block METADATA first, derives a
+provable score threshold from the k best block upper bounds, and decodes
+only surviving blocks.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from lucene_spark.codec.norms import NORM_TABLE
+from lucene_spark.codec.varbyte import vb_decode
+from lucene_spark.index.builder import SparkIndex
+from lucene_spark.model.pymodel import _ClassicScorer
+from lucene_spark.search.query import (
+    BooleanQuery,
+    EmptyResult,
+    Insignificant,
+    MultiTermQuery,
+    PhraseQuery,
+    Query,
+    Term,
+    TermQuery,
+)
+from lucene_spark.search.parser import parse_query
+from lucene_spark.search.similarity import (
+    BM25_B,
+    BM25_K1,
+    bm25_idf,
+    classic_coord,
+    classic_idf,
+)
+
+
+# ---------------------------------------------------------------- decode
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("qid", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", IntegerType()),
+        StructField("dl", IntegerType()),
+    ]
+)
+_DECODE_POS_SCHEMA = StructType(
+    _DECODE_SCHEMA.fields + [StructField("positions", ArrayType(IntegerType()))]
+)
+
+
+def decode_postings(
+    index: SparkIndex, terms: list[Term], need_positions: bool = False
+) -> DataFrame:
+    """One scan+decode for all query terms → (qid, doc_id, tf, dl[, pos]).
+
+    qid = position of the term in ``terms``. The filter is an OR of
+    (field, term) equalities — pushed down to the parquet scan.
+    """
+    qid_map = {(t.field, t.text): i for i, t in enumerate(terms)}
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("field") == t.field) & (F.col("term") == t.text)
+            for t in terms
+        ],
+    )
+    blocks = index.postings.where(cond)
+    schema = _DECODE_POS_SCHEMA if need_positions else _DECODE_SCHEMA
+
+    def decode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out_qid, out_doc, out_tf, out_dl, out_pos = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                qid = qid_map.get((row.field, row.term))
+                if qid is None:
+                    continue
+                gaps = vb_decode(row.docs_bin).astype(np.int64)
+                docs = np.cumsum(gaps) + (int(row.doc_base) - int(gaps[0]))
+                tfs = vb_decode(row.tfs_bin).astype(np.int64)
+                dls = vb_decode(row.dls_bin).astype(np.int64)
+                out_qid.append(np.full(len(docs), qid, dtype=np.int32))
+                out_doc.append(docs)
+                out_tf.append(tfs)
+                out_dl.append(dls)
+                if need_positions:
+                    pgaps = vb_decode(row.pos_bin).astype(np.int64)
+                    run_starts = np.cumsum(tfs) - tfs
+                    cs = np.cumsum(pgaps)
+                    prior = np.where(run_starts > 0, cs[run_starts - 1], 0)
+                    offs = np.zeros(len(pgaps), dtype=np.int64)
+                    offs[run_starts] = np.diff(prior, prepend=np.int64(0))
+                    pos = cs - np.cumsum(offs)
+                    splits = np.cumsum(tfs)[:-1]
+                    out_pos.extend(
+                        [a.astype(np.int32).tolist() for a in np.split(pos, splits)]
+                    )
+            if not out_qid:
+                continue
+            data = {
+                "qid": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+                "tf": np.concatenate(out_tf).astype(np.int32),
+                "dl": np.concatenate(out_dl).astype(np.int32),
+            }
+            res = pd.DataFrame(data)
+            if need_positions:
+                res["positions"] = out_pos
+            yield res
+
+    return blocks.mapInPandas(decode, schema)
+
+
+# ------------------------------------------------------------- searcher
+
+
+class SparkSearcher:
+    """Executes primitive query trees against a SparkIndex."""
+
+    def __init__(self, index: SparkIndex):
+        self.index = index
+        self.spark = index.spark
+
+    # ---- public API --------------------------------------------------
+    def search(
+        self,
+        query: str | Query,
+        k: int = 10,
+        score_mode: str = "bm25",
+        default_field: str | None = None,
+    ) -> DataFrame:
+        """Parse/compile + execute; returns (doc_id, score) top-k DF."""
+        ix = self.index
+        if isinstance(query, str):
+            ix.set_default_search_field(default_field)
+            query = parse_query(query, default_field)
+        q = query.rewrite(ix).optimize(ix)
+        return self.execute(q, k=k, score_mode=score_mode)
+
+    def execute(self, q: Query, k: int = 10, score_mode: str = "bm25") -> DataFrame:
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if isinstance(q, (Insignificant, EmptyResult)):
+            return empty
+        terms = _collect_terms(q)
+        self.index.prefetch_terms(terms)
+        if score_mode == "classic":
+            scorer = _ClassicScorer(self.index, q)  # weight math only
+            df = self._node_df(q, scorer.query_norm, "classic")
+        else:
+            df = self._node_df(q, 1.0, "bm25")
+        if df is None:
+            return empty
+        out = df.where(F.col("score") != 0.0)
+        if score_mode == "classic":
+            # top-score normalization when top > 1 (src/Index.php:731-735)
+            top = out.agg(F.max("score").alias("m"))
+            out = out.crossJoin(F.broadcast(top)).select(
+                "doc_id",
+                F.when(F.col("m") > 1.0, F.col("score") / F.col("m"))
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        if k:
+            out = out.limit(k)
+        return out
+
+    # ---- leaf scoring -------------------------------------------------
+    def _leaf_df(
+        self, terms: list[Term], boosts: list[float], values: list[float],
+        mode: str,
+    ) -> DataFrame:
+        """Decoded postings for leaf terms with a per-row 'score' column.
+
+        classic: score = sqrt(tf) · value_qid · norm(doc, field) · boost
+        bm25:    score = boost · idf_qid · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+        value/idf arrive as per-qid literal arrays (driver-computed).
+        """
+        ix = self.index
+        df = decode_postings(ix, terms)
+        val_arr = F.array(*[F.lit(float(v)) for v in values])
+        boost_arr = F.array(*[F.lit(float(b)) for b in boosts])
+        if mode == "bm25":
+            avgdl_arr = F.array(
+                *[F.lit(float(ix.avg_field_len(t.field))) for t in terms]
+            )
+            k1, b = float(BM25_K1), float(BM25_B)
+            partial = (
+                F.col("tf") * F.lit(k1 + 1.0)
+            ) / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("dl")
+                    / F.element_at(avgdl_arr, F.col("qid") + 1)
+                )
+            )
+            score = (
+                F.element_at(boost_arr, F.col("qid") + 1)
+                * F.element_at(val_arr, F.col("qid") + 1)
+                * partial
+            )
+            return df.select("qid", "doc_id", score.alias("score"))
+        # classic: need norm byte per (doc, field) → join docs projection
+        fields = sorted({t.field for t in terms})
+        field_idx = F.array(
+            *[F.lit(fields.index(t.field)) for t in terms]
+        )
+        norm_cols = [
+            F.col(f"norm_{f}").cast("int").alias(f"_n{i}")
+            for i, f in enumerate(fields)
+        ]
+        docs_proj = self.index.docs.select(F.col("doc_id"), *norm_cols)
+        df = df.join(docs_proj, "doc_id")
+        norm_byte = F.element_at(
+            F.array(*[F.col(f"_n{i}") for i in range(len(fields))]),
+            F.element_at(field_idx, F.col("qid") + 1) + 1,
+        )
+        norm_table = F.array(*[F.lit(float(x)) for x in NORM_TABLE])
+        norm = F.element_at(norm_table, norm_byte + 1)
+        score = (
+            F.sqrt(F.col("tf").cast("double"))
+            * F.element_at(val_arr, F.col("qid") + 1)
+            * norm
+            * F.element_at(boost_arr, F.col("qid") + 1)
+        )
+        return df.select("qid", "doc_id", score.alias("score"))
+
+    # ---- recursive node compilation -----------------------------------
+    def _node_df(self, q: Query, qn: float, mode: str) -> DataFrame | None:
+        """DF (doc_id, score) with only score≠0 rows (matched docs)."""
+        ix = self.index
+        N = ix.n_docs
+
+        def term_value(t: Term, owner_boost: float, chain_qn: float) -> float:
+            idf = classic_idf(ix.doc_freq(t), N)
+            return idf * owner_boost * chain_qn * idf
+
+        if isinstance(q, TermQuery):
+            if mode == "classic":
+                v = term_value(q.term, q.boost, qn)
+                df = self._leaf_df([q.term], [q.boost], [v], mode)
+            else:
+                df = self._leaf_df(
+                    [q.term], [q.boost], [bm25_idf(ix.doc_freq(q.term), N)], mode
+                )
+            return df.select("doc_id", "score")
+
+        if isinstance(q, MultiTermQuery):
+            signs = q.signs
+            active = [
+                (t, True if signs is None else signs[i])
+                for i, t in enumerate(q.terms)
+            ]
+            scorable = [(t, s) for t, s in active if s is not False]
+            prohibited = [t for t, s in active if s is False]
+            if mode == "classic":
+                child_qn = qn * q.boost
+                values = [term_value(t, q.boost, child_qn) for t, _ in scorable]
+            else:
+                values = [bm25_idf(ix.doc_freq(t), N) for t, _ in scorable]
+            leaf = self._leaf_df(
+                [t for t, _ in scorable], [1.0] * len(scorable), values, mode
+            )
+            req_ids = [
+                i for i, (_t, s) in enumerate(scorable) if s is True or signs is None
+            ]
+            is_req = F.col("qid").isin(req_ids) if req_ids else F.lit(False)
+            agg = leaf.groupBy("doc_id").agg(
+                F.sum("score").alias("_s"),
+                F.count("*").alias("_m"),
+                F.sum(is_req.cast("int")).alias("_mr"),
+            )
+            if req_ids:
+                agg = agg.where(F.col("_mr") == len(req_ids))
+            if prohibited:
+                pro = decode_postings(ix, prohibited).select("doc_id").distinct()
+                agg = agg.join(pro, "doc_id", "left_anti")
+            if mode == "classic":
+                if signs is None:
+                    coord = classic_coord(len(q.terms), len(q.terms))
+                    score = F.col("_s") * F.lit(coord) * F.lit(q.boost)
+                else:
+                    max_coord = len(scorable)
+                    score = (
+                        F.col("_s")
+                        * (F.col("_m").cast("double") / F.lit(float(max_coord)))
+                        * F.lit(q.boost)
+                    )
+            else:
+                score = F.col("_s") * F.lit(q.boost)
+            return agg.select("doc_id", score.alias("score"))
+
+        if isinstance(q, BooleanQuery):
+            signs = q.signs
+            child_qn = qn * q.boost
+            subs = []
+            for i, sub in enumerate(q.subqueries):
+                s = True if signs is None else signs[i]
+                df = self._node_df(sub, child_qn, mode)
+                subs.append((df, s))
+            pos = [(df, s) for df, s in subs if s is not False]
+            pro = [df for df, s in subs if s is False]
+            tagged = [
+                df.select(
+                    "doc_id",
+                    "score",
+                    F.lit(i).alias("_cid"),
+                    F.lit(1 if s is True or signs is None else 0).alias("_req"),
+                )
+                for i, (df, s) in enumerate(pos)
+            ]
+            un = reduce(lambda a, b: a.unionByName(b), tagged)
+            n_req = sum(1 for _df, s in pos if s is True or signs is None)
+            agg = un.groupBy("doc_id").agg(
+                F.sum("score").alias("_s"),
+                F.count("*").alias("_m"),
+                F.sum("_req").alias("_mr"),
+            )
+            if n_req:
+                agg = agg.where(F.col("_mr") == n_req)
+            if pro:
+                pro_un = reduce(
+                    lambda a, b: a.unionByName(b), [p.select("doc_id") for p in pro]
+                ).distinct()
+                agg = agg.join(pro_un, "doc_id", "left_anti")
+            if mode == "classic":
+                if signs is None:
+                    # conjunction double-coord (coord(n,n)=1, kept explicit
+                    # for parity with Boolean.php:655-665)
+                    coord = classic_coord(len(q.subqueries), len(q.subqueries))
+                    score = F.col("_s") * F.lit(coord) * F.lit(coord) * F.lit(q.boost)
+                else:
+                    max_coord = len(pos)
+                    score = (
+                        F.col("_s")
+                        * (F.col("_m").cast("double") / F.lit(float(max_coord)))
+                        * F.lit(q.boost)
+                    )
+            else:
+                score = F.col("_s") * F.lit(q.boost)
+            return agg.select("doc_id", score.alias("score"))
+
+        if isinstance(q, PhraseQuery):
+            return self._phrase_df(q, qn, mode)
+
+        if isinstance(q, (Insignificant, EmptyResult)):
+            return None
+        raise TypeError(f"cannot execute {type(q).__name__}")
+
+    def _phrase_df(self, q: PhraseQuery, qn: float, mode: str) -> DataFrame:
+        ix = self.index
+        N = ix.n_docs
+        posts = decode_postings(ix, q.terms, need_positions=True)
+        per_term = [
+            posts.where(F.col("qid") == i).select(
+                "doc_id",
+                F.col("positions").alias(f"_p{i}"),
+                F.col("dl").alias(f"_dl{i}"),
+            )
+            for i in range(len(q.terms))
+        ]
+        joined = reduce(lambda a, b: a.join(b, "doc_id"), per_term)
+        offsets = list(q.offsets)
+        slop = q.slop
+        n_terms = len(q.terms)
+
+        from lucene_spark.search.phrase import phrase_freq
+
+        @F.pandas_udf(DoubleType())
+        def freq_udf(*pos_cols: pd.Series) -> pd.Series:
+            out = np.empty(len(pos_cols[0]), dtype=np.float64)
+            for r in range(len(pos_cols[0])):
+                positions = [list(pos_cols[i].iloc[r]) for i in range(n_terms)]
+                out[r] = phrase_freq(positions, offsets, slop)
+            return pd.Series(out)
+
+        joined = joined.withColumn(
+            "freq", freq_udf(*[F.col(f"_p{i}") for i in range(n_terms)])
+        ).where(F.col("freq") > 0)
+
+        if mode == "classic":
+            idf = sum(classic_idf(ix.doc_freq(t), N) for t in q.terms)
+            value = idf * q.boost * qn * idf
+            fields = [q.terms[0].field]
+            docs_proj = ix.docs.select(
+                "doc_id", F.col(f"norm_{fields[0]}").cast("int").alias("_nb")
+            )
+            joined = joined.join(docs_proj, "doc_id")
+            norm_table = F.array(*[F.lit(float(x)) for x in NORM_TABLE])
+            norm = F.element_at(norm_table, F.col("_nb") + 1)
+            score = F.sqrt(F.col("freq")) * F.lit(value) * norm * F.lit(q.boost)
+        else:
+            df_min = min(ix.doc_freq(t) for t in q.terms)
+            avgdl = ix.avg_field_len(q.terms[0].field)
+            k1, b = float(BM25_K1), float(BM25_B)
+            partial = (F.col("freq") * F.lit(k1 + 1.0)) / (
+                F.col("freq")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl0") / F.lit(avgdl))
+            )
+            score = F.lit(q.boost) * F.lit(bm25_idf(df_min, N)) * partial
+        return joined.select("doc_id", score.alias("score"))
+
+
+def _collect_terms(q: Query) -> list[Term]:
+    out: list[Term] = []
+    seen = set()
+
+    def walk(n: Query):
+        if isinstance(n, (TermQuery,)):
+            cands = [n.term]
+        elif isinstance(n, (MultiTermQuery, PhraseQuery)):
+            cands = list(n.terms)
+        elif isinstance(n, BooleanQuery):
+            for s in n.subqueries:
+                walk(s)
+            return
+        else:
+            return
+        for t in cands:
+            k = (t.field, t.text)
+            if k not in seen:
+                seen.add(k)
+                out.append(t)
+
+    walk(q)
+    return out
+
+
+# ------------------------------------------------- block-max top-k path
+
+
+def topk_term_pruned(
+    index: SparkIndex, term: Term, k: int = 10
+) -> tuple[list, dict]:
+    """Single-term BM25 top-k with EXACT block-max pruning.
+
+    Per-block metadata (block_max_tf, block_min_dl) yields a score UPPER
+    bound ub = idf·partial(max_tf, min_dl) (partial is increasing in tf,
+    decreasing in dl). Two rounds, both provably exact:
+
+    1. decode the blocks with the highest ubs covering ≥ k postings →
+       exact candidate scores → θ = kth best exact score;
+    2. decode every remaining block with ub > θ (any block with ub ≤ θ
+       cannot contain a doc beating the current kth) → merge, take k.
+
+    Block metadata for ONE term is n_postings/128 rows — collected to
+    the driver here; for stop-word-scale terms at 10^12 docs the same
+    two-round protocol runs as DataFrame filters on the metadata columns
+    (no collect); this implementation targets the serving path where
+    per-term block counts are ≤ millions.
+
+    Returns (top-k rows, pruning stats).
+    """
+    from lucene_spark.search.similarity import bm25_partial
+
+    spark = index.spark
+    base_cond = (F.col("field") == term.field) & (F.col("term") == term.text)
+    meta = (
+        index.postings.where(base_cond)
+        .select("seg_id", "block_id", "doc_base", "n", "block_max_tf", "block_min_dl")
+        .collect()
+    )
+    stats = {"blocks_total": len(meta), "blocks_decoded": 0}
+    if not meta:
+        return [], stats
+    N = index.n_docs
+    idf = bm25_idf(index.doc_freq(term), N)
+    avgdl = index.avg_field_len(term.field)
+    k1, b = float(BM25_K1), float(BM25_B)
+
+    ubs = sorted(
+        (
+            (
+                idf * bm25_partial(r["block_max_tf"], r["block_min_dl"], avgdl),
+                r["n"],
+                (r["seg_id"], r["doc_base"]),
+            )
+            for r in meta
+        ),
+        key=lambda x: -x[0],
+    )
+
+    partial_expr = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+
+    def decode_keys(keys) -> list:
+        import types
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [(F.col("seg_id") == s) & (F.col("doc_base") == d) for s, d in keys],
+        )
+        blocks = index.postings.where(base_cond & cond)
+        fake = types.SimpleNamespace(postings=blocks)
+        df = decode_postings(fake, [term])
+        return (
+            df.select("doc_id", (F.lit(idf) * partial_expr).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(max(k, 1))
+            .collect()
+        )
+
+    # round 1: highest-ub blocks covering >= k postings
+    covered = 0
+    round1 = []
+    for ub, n, key in ubs:
+        round1.append(key)
+        covered += n
+        if covered >= k:
+            break
+    hits = decode_keys(round1)
+    theta = hits[-1]["score"] if len(hits) >= k else float("-inf")
+
+    # round 2: any remaining block whose ub beats theta
+    round1_set = set(round1)
+    round2 = [key for ub, _n, key in ubs if key not in round1_set and ub > theta]
+    if round2:
+        hits2 = decode_keys(round2)
+        merged = sorted(
+            list(hits) + list(hits2), key=lambda r: (-r["score"], r["doc_id"])
+        )[:k]
+        hits = merged
+    stats["blocks_decoded"] = len(round1) + len(round2)
+    return list(hits[:k]), stats
