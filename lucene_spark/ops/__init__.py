@@ -1,0 +1,51 @@
+"""Training-data-pipeline operators over document / embedding tables.
+
+These are first-class engine components beyond the reference's search
+surface: the operations a 100 TB training-data pipeline needs —
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine), approximate-nearest-neighbor search (brute-force
+cosine baseline + IVF-bucketed scale path), text analysis (language-ID,
+quality scoring, token counting, fingerprinting) and multimodal binary
+column plumbing.
+
+Everything here is expressed with built-in ``pyspark.sql.functions``
+(higher-order array functions, md5, aggregates) — whole-stage-codegen
+JVM execution, no Python UDFs in any hot path — so each op both scales
+and is exactly reproducible as ANSI SQL for the DuckDB oracle.
+"""
+
+from lucene_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from lucene_spark.ops.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    ivf_topk,
+)
+from lucene_spark.ops.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "word_shingles",
+    "brute_force_topk",
+    "cosine_pairs",
+    "ivf_topk",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+]

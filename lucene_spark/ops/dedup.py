@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (designed for 10^9+ documents):
+
+- Exact dedup is one hash-groupBy — a single shuffle on a 16-byte key.
+- MinHash signatures are computed in one explode + groupBy(doc) pass;
+  the LSH band join groups docs by (band_idx, band_key) so candidate
+  generation never compares non-colliding docs (the all-pairs cross
+  join is replaced by |bucket|^2 local joins; AQE skew-join splits any
+  pathological bucket).
+- n-gram Jaccard candidates come from an inverted shingle→doc join
+  (docs sharing at least one shingle), again avoiding the cross join.
+- SimHash is one groupBy(doc) with per-bit conditional sums.
+
+All hashing is md5-based (identical in Spark and DuckDB) so every op
+has an exact SQL oracle; all arithmetic stays in int64 (products are
+bounded: hash is reduced mod 2^31 before the (a*h+b) mod P permutation
+with a,b < 2^20, so a*h < 2^51).
+
+No Python UDFs anywhere — pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# Deterministic MinHash permutation constants (a, b) — shared verbatim
+# with the DuckDB oracle SQL. P is a prime > 2^32; hashes are reduced
+# mod 2^31 first so a*h + b stays far inside int64.
+MINHASH_P = 4294967311
+MINHASH_PERMS = [
+    (745291, 283733), (912269, 613321), (530501, 875983), (700919, 121339),
+    (337411, 990037), (811073, 445133), (478139, 220301), (655243, 777239),
+    (390043, 568019), (941083, 332489), (574601, 109943), (868411, 690407),
+    (259631, 820103), (736007, 254893), (498221, 938431), (623869, 412007),
+]
+LSH_ROWS_PER_BAND = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def tokens(col: str | Column, pattern: str = TOKEN_PATTERN) -> Column:
+    """lowercase word tokens as array<string> (JVM regexp, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 — the one hash
+    primitive shared with the SQL oracle (DuckDB:
+    ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-token shingles as space-joined strings; < n tokens → empty."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(1, n + 1)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, canonical: bool = True
+) -> DataFrame:
+    """Exact duplicate groups → (fp, keep_id, n_dups).
+
+    ``canonical=True`` fingerprints the sorted distinct token set (order/
+    duplication-insensitive); ``False`` hashes the raw text. keep_id is
+    the smallest doc id of the group (the survivor).
+    """
+    if canonical:
+        key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+    else:
+        key = F.md5(F.col(text_col))
+    return (
+        df.select(key.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct — the exploded shingle inventory."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.explode(word_shingles(F.col("toks"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, mh_0 .. mh_{K-1}) MinHash signature over word shingles.
+
+    One explode + one groupBy(id): the K permutations are column
+    expressions over a single md5 hash, combined map-side (partial
+    min aggregation) — the shuffle carries K longs per doc.
+    Docs with no shingles are dropped (no signature).
+    """
+    sh = _shingle_df(df, id_col, text_col, shingle_n)
+    h = md5_long(F.col("shingle")) % F.lit(2**31)
+    perms = [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"p{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    expanded = sh.select("id", *perms)
+    return expanded.groupBy("id").agg(
+        *[F.min(f"p{j}").alias(f"mh_{j}") for j in range(len(MINHASH_PERMS))]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    → (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Candidates = docs sharing any LSH band key; verification joins the
+    exact shingle sets (only for candidates, never all pairs).
+    """
+    k = len(MINHASH_PERMS)
+    n_bands = k // LSH_ROWS_PER_BAND
+    sig = minhash_signature(df, id_col, text_col, shingle_n)
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh_{bi * LSH_ROWS_PER_BAND + r}")
+                                    for r in range(LSH_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = _shingle_df(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingle")),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard pairs >= threshold (id_a < id_b).
+
+    Candidate pairs come from the inverted shingle→doc join (docs must
+    share >= 1 shingle), so cost is Σ_shingle df(shingle)^2 — the
+    classic index-based all-pairs similarity join. For web-scale input
+    combine with :func:`minhash_lsh_pairs` to pre-filter candidates.
+    """
+    sh = _shingle_df(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 16
+) -> DataFrame:
+    """(id, simhash) — tf-weighted SimHash over word tokens.
+
+    bit_i(doc) = 1 iff Σ_term tf · (2·bit_i(h(term)) − 1) > 0.
+    One explode + one groupBy(id) with n_bits conditional sums; the
+    per-bit test uses only shifts/mod on the shared md5-int64 hash.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    tf = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_long(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    agg = tf.groupBy("id").agg(*bit_sums)
+    sh = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)),
+        range(1, n_bits),
+        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return agg.select("id", sh.cast("long").alias("simhash"))

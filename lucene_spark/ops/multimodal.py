@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the engine as ``binary`` columns
+next to a typed metadata struct. The Spark-side plumbing here is real
+and tested — schema, Arrow batch shape, ``mapInPandas`` partition flow,
+deterministic feature extraction — while the actual media decode is
+STUBBED (the container has no image/audio libraries): ``decode_stub``
+derives a deterministic fake feature vector from the bytes, and
+:func:`decode_real` raises ``NotImplementedError`` with the intended
+signature so a PIL/ffmpeg implementation drops in without touching the
+pipeline.
+
+At 100 TB the binary column dominates IO: keep it in its own parquet
+column (column pruning skips it unless a decode stage runs) and size
+``spark.sql.files.maxPartitionBytes`` so one task's batch of blobs fits
+executor memory; ``mapInPandas`` streams Arrow batches so a partition
+never fully materializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),   # image|audio|video
+        StructField("n_bytes", LongType()),
+        StructField("sha_prefix", StringType()),   # first 16 hex of sha256
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha_prefix", StringType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str, text_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Test/bench helper: derive a deterministic opaque binary payload
+    column (the utf-8 bytes of the text) + metadata struct, standing in
+    for real media blobs. Pure Catalyst expressions."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.substring(F.sha2(payload, 256), 1, 16).alias("sha_prefix"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(blob: bytes) -> np.ndarray:
+    """Deterministic fake 'decode': FEATURE_DIM doubles in [0,1) from
+    sha256(blob). Replace with a real decoder via :func:`decode_real`."""
+    h = hashlib.sha256(blob).digest()
+    ints = np.frombuffer(h[: FEATURE_DIM * 4], dtype=">u4").astype(np.float64)
+    return ints / 2**32
+
+
+def decode_real(blob: bytes, media_type: str) -> np.ndarray:
+    """Real decode / feature-extract / resize / frame-sample entry point.
+
+    Intentionally unimplemented: the container ships no PIL/torchvision/
+    ffmpeg. An implementation must return a float64 feature vector of
+    length FEATURE_DIM per blob and be called from
+    :func:`extract_features`'s mapInPandas kernel in place of
+    :func:`decode_stub`.
+    """
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "environment; decode_stub provides the deterministic test path"
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """(id, payload binary, meta struct) → (id, meta.*, feature).
+
+    Arrow-batched mapInPandas: each batch's blobs are decoded in one
+    vectorized pass (stub: sha256 per blob — the only per-item Python,
+    exactly where a real decoder would sit). Output drops the payload
+    column so downstream stages never re-read the heavy bytes.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = [decode_stub(b).tolist() for b in pdf["payload"]]
+            meta = pd.DataFrame(list(pdf["meta"]))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "media_type": meta["media_type"].to_numpy(),
+                    "n_bytes": meta["n_bytes"].to_numpy(),
+                    "sha_prefix": meta["sha_prefix"].to_numpy(),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(kernel, _FEATURES_SCHEMA)

@@ -1,0 +1,119 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions (regexp + higher-order array functions)
+— one projection per op, no shuffle, no Python. Each op has an exact
+DuckDB-SQL twin used by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lucene_spark.ops.dedup import md5_long, tokens
+
+# Small fixed English function-word list for the n-gram/stopword
+# language heuristic (shared verbatim with the SQL oracle).
+LANG_EN_MARKERS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "to", "with",
+)
+
+# "BPE-ish" piece pattern: letter runs, single digits, or single
+# non-alphanumeric glyphs — a cheap proxy for subword token counts.
+BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+FP_BASE = 31
+FP_MOD = 2147483647  # 2^31 - 1
+
+
+def _stop_ratio(toks: Column) -> Column:
+    in_set = F.size(
+        F.filter(toks, lambda t: t.isin([F.lit(m) for m in LANG_EN_MARKERS]))
+    )
+    return F.when(F.size(toks) > 0, in_set / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, stop_ratio, lang) — function-word-ratio language heuristic.
+
+    lang = 'en' when >= 5% of tokens are English function words, else
+    'und'. A real n-gram model slots into the same shape (per-language
+    marker lists → ratio columns → argmax).
+    """
+    toks = tokens(text_col)
+    ratio = _stop_ratio(toks)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, uniq_ratio, mean_tok_len, stop_ratio, quality).
+
+    quality ∈ [0,1]: blends length band (30..500 tokens), lexical
+    diversity, mean token length band (3..12 chars) and stopword
+    presence — the standard cheap pre-filter before model-based scoring.
+    """
+    t = tokens(text_col)
+    df2 = df.select(F.col(id_col).alias("id"), t.alias("toks"))
+    n = F.size("toks")
+    uniq = F.size(F.array_distinct("toks"))
+    tok_chars = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.when(n > 0, tok_chars.cast("double") / n).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(n > 0, uniq.cast("double") / n).otherwise(F.lit(0.0))
+    stop_r = _stop_ratio(F.col("toks"))
+    len_band = F.when((n >= 30) & (n <= 500), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    tok_band = F.when((mean_len >= 3.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    stop_band = F.when(stop_r >= 0.02, F.lit(1.0)).otherwise(F.lit(0.5))
+    quality = (
+        F.lit(0.3) * len_band
+        + F.lit(0.3) * uniq_ratio
+        + F.lit(0.2) * tok_band
+        + F.lit(0.2) * stop_band
+    )
+    return df2.select(
+        "id",
+        n.alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        F.round(stop_r, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_ws, n_words, n_bpe, n_chars) — whitespace tokens, word
+    tokens, BPE-ish piece count, character count."""
+    lower = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(F.col(text_col)), " +")).alias("n_ws"),
+        F.size(tokens(text_col)).alias("n_words"),
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_PATTERN), 0)).alias("n_bpe"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp) — order-sensitive rolling polynomial hash of the token
+    stream: fold h ← (h·31 + md5_60(tok) mod 2^31) mod (2^31−1).
+
+    Sequential fold (F.aggregate ≙ DuckDB list_reduce) so the oracle is
+    bit-exact; detects reorderings that set-based fingerprints miss.
+    """
+    t = tokens(text_col)
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + md5_long(x) % 2**31) % FP_MOD,
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
