@@ -37,6 +37,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -140,6 +141,50 @@ def decode_postings(
             if need_positions:
                 res["positions"] = out_pos
             yield res
+
+    return blocks.mapInPandas(decode, schema)
+
+
+def dump_postings(index: SparkIndex, field: str) -> DataFrame:
+    """Decode EVERY posting block of one field → (term, doc_id, tf, dl).
+
+    The round-trip check for the whole build path (tokenize → invert →
+    block-pack → merge → decode): its output must equal the plain
+    explode/groupBy recomputation from the raw text. One Arrow-batched
+    decode pass over the postings scan, no shuffle.
+    """
+    blocks = index.postings.where(F.col("field") == field)
+    schema = StructType(
+        [
+            StructField("term", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("tf", IntegerType()),
+            StructField("dl", IntegerType()),
+        ]
+    )
+
+    def decode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            terms, docs, tfs, dls = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                gaps = vb_decode(row.docs_bin).astype(np.int64)
+                d = np.cumsum(gaps) + (int(row.doc_base) - int(gaps[0]))
+                t = vb_decode(row.tfs_bin).astype(np.int64)
+                dl = vb_decode(row.dls_bin).astype(np.int64)
+                terms.append(np.full(len(d), row.term, dtype=object))
+                docs.append(d)
+                tfs.append(t)
+                dls.append(dl)
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "tf": np.concatenate(tfs).astype(np.int32),
+                    "dl": np.concatenate(dls).astype(np.int32),
+                }
+            )
 
     return blocks.mapInPandas(decode, schema)
 
