@@ -62,7 +62,7 @@ from lucene_spark.search.query import FuzzyQuery, Term
 
 # ---------------------------------------------------------------- config
 
-_VERSION = "r1c"  # bump to invalidate cached gate indexes
+_VERSION = "r1d"  # bump to invalidate cached gate indexes
 TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 K1, B = 1.2, 0.75
 TOPK = 20
@@ -814,15 +814,24 @@ def _tr_turns(spark, sf_dir):
 
 
 _TR_TURNS_SQL = f"""
-WITH d AS (SELECT doc_id, {TOKEN_SQL} AS l FROM documents),
+WITH d AS (
+    SELECT doc_id, doc_id // 16 AS conv, {TOKEN_SQL} AS l,
+           greatest(1, CAST(ceil(len({TOKEN_SQL}) / 24.0) AS INT)) AS n_turns
+    FROM documents
+),
+based AS (
+    SELECT *, coalesce(sum(n_turns) OVER (
+        PARTITION BY conv ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_base
+    FROM d
+),
 t AS (
-    SELECT d.doc_id, g.i AS turn_idx,
-           array_to_string(d.l[(g.i * 24 + 1):(g.i * 24 + 24)], ' ') AS text
-    FROM d, LATERAL (
-        SELECT unnest(generate_series(0,
-            greatest(1, CAST(ceil(len(d.l) / 24.0) AS INT)) - 1)) AS i) g
+    SELECT b.conv, b.turn_base + g.i AS turn_idx,
+           array_to_string(b.l[(g.i * 24 + 1):(g.i * 24 + 24)], ' ') AS text
+    FROM based b, LATERAL (
+        SELECT unnest(generate_series(0, b.n_turns - 1)) AS i) g
 )
-SELECT printf('conv%08d', doc_id) AS conv_id, turn_idx::BIGINT AS turn_idx,
+SELECT printf('conv%08d', conv) AS conv_id, turn_idx::BIGINT AS turn_idx,
        CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
        text,
        CASE WHEN turn_idx % 5 = 3 THEN 'search' END AS tool

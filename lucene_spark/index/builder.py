@@ -115,7 +115,10 @@ POSTINGS_SCHEMA = StructType(
 
 
 def assign_doc_ids(
-    df: DataFrame, order_cols: list[str], num_partitions: int | None = None
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    cfg: "IndexConfig | None" = None,
 ) -> DataFrame:
     """Dense 0-based doc_id by ``order_cols`` without a global window.
 
@@ -124,6 +127,10 @@ def assign_doc_ids(
     sort boundaries), count rows per partition (a tiny collect of S
     longs), then add the per-partition offset to a local row number —
     every step is fully parallel.
+
+    When ``cfg`` is given, the same Arrow pass also emits len_<f> /
+    norm_<f> columns for the config's indexed fields (fused
+    _docs_with_lengths — avoids a second full-data Python round trip).
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -145,9 +152,22 @@ def assign_doc_ids(
         acc += counts[pid]
     offsets_b = spark.sparkContext.broadcast(offsets)
 
-    schema = StructType(
-        ordered.schema.fields + [StructField("doc_id", LongType(), False)]
+    text_fields = (
+        [f for f, k in cfg.field_policy.items() if k == "text" and f in df.columns]
+        if cfg
+        else []
     )
+    kw_fields = (
+        [f for f, k in cfg.field_policy.items() if k == "keyword" and f in df.columns]
+        if cfg
+        else []
+    )
+    analyzer = cfg.analyzer if cfg else None
+    extra_fields = [StructField("doc_id", LongType(), False)]
+    for f in text_fields + kw_fields:
+        extra_fields.append(StructField(f"len_{f}", LongType()))
+        extra_fields.append(StructField(f"norm_{f}", IntegerType()))
+    schema = StructType(ordered.schema.fields + extra_fields)
 
     # mapInPandas may split a partition into several Arrow batches; the
     # running offset must persist across batches within one partition
@@ -159,13 +179,139 @@ def assign_doc_ids(
                 continue
             if base is None:
                 base = offsets_b.value[int(pdf["_pid"].iloc[0])]
-            yield pdf.assign(
+            out = pdf.assign(
                 doc_id=np.arange(seen, seen + len(pdf), dtype=np.int64) + base
             )
             seen += len(pdf)
+            for f in text_fields:
+                lens = analyzer.tokenize_series(pdf[f]).map(len).to_numpy(np.int64)
+                norms = encode_norm_array(length_norm(lens))
+                norms = np.where(lens == 0, 0, norms)
+                out[f"len_{f}"] = lens
+                out[f"norm_{f}"] = norms.astype(np.int32)
+            for f in kw_fields:
+                present = pdf[f].notna().to_numpy()
+                out[f"len_{f}"] = present.astype(np.int64)
+                out[f"norm_{f}"] = np.where(
+                    present, int(encode_norm_array(np.array([1.0]))[0]), 0
+                ).astype(np.int32)
+            yield out
 
-    out = ordered.mapInPandas(add_ids, schema)
-    return out.drop("_pid")
+    out = ordered.mapInPandas(add_ids, schema).drop("_pid")
+    out._lucene_pinned = ordered  # builder unpersists after consuming
+    return out
+
+
+def assign_doc_ids_dense(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    cfg: "IndexConfig | None" = None,
+    broadcast_max_convs: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense doc_id by (conv, turn) WITHOUT shuffling the full table.
+
+    The range-exchange path (:func:`assign_doc_ids`) samples, sorts,
+    persists and re-reads the whole input — measured as the worst-scaling
+    phase of the build. Transcripts allow a much cheaper scheme:
+
+    1. conv-size table ``(conv_id, cnt, min_turn, max_turn)`` — one
+       narrow aggregation (bytes per conversation, not per turn);
+    2. distributed prefix-sum over conv sizes ordered by conv_id:
+       range-partition the conv TABLE (tiny fraction of the data),
+       collect only per-partition sums (S longs) to the driver, shift
+       local cumulative sums — the same offset trick as assign_doc_ids
+       but over conversations, so it scales to 10^10 conversations;
+    3. ``doc_id = conv_base + turn_idx`` when every conversation's
+       turn_idx is dense 0..cnt-1 (the input contract's stable
+       ordering); otherwise fall back to a per-conversation
+       ``row_number`` window (parallel — partitioned by conv_id).
+    4. the conv_base join broadcasts below ``broadcast_max_convs``
+       (zero shuffle of the big table), else shuffle-hash-joins on
+       conv_id.
+
+    Produces exactly ``row_number() over (order by conv, turn) - 1``.
+    With ``cfg``, also emits len_<f>/norm_<f> in the same Arrow pass.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    conv = df.groupBy(conv_col).agg(
+        F.count("*").alias("_cnt"),
+        F.min(turn_col).alias("_mn"),
+        F.max(turn_col).alias("_mx"),
+    )
+    ordered = (
+        conv.repartitionByRange(n, conv_col)
+        .sortWithinPartitions(conv_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    part_stats = (
+        ordered.groupBy("_pid")
+        .agg(
+            F.sum("_cnt").alias("rows"),
+            F.count("*").alias("convs"),
+            F.sum(
+                ((F.col("_mn") == 0) & (F.col("_mx") == F.col("_cnt") - 1)).cast("long")
+            ).alias("dense"),
+        )
+        .collect()
+    )
+    offsets, acc = {}, 0
+    n_convs, n_dense = 0, 0
+    for r in sorted(part_stats, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["rows"]
+        n_convs += r["convs"]
+        n_dense += r["dense"]
+    all_dense = n_dense == n_convs
+    offsets_b = spark.sparkContext.broadcast(offsets)
+
+    def cumsum_bases(it):
+        local = 0
+        base0 = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if base0 is None:
+                base0 = offsets_b.value[int(pdf["_pid"].iloc[0])]
+            c = pdf["_cnt"].to_numpy(np.int64)
+            ends = np.cumsum(c)
+            pdf = pdf.assign(_base=base0 + local + ends - c)
+            local += int(ends[-1])
+            yield pdf[[conv_col, "_base"]]
+
+    bases = ordered.mapInPandas(
+        cumsum_bases,
+        StructType(
+            [
+                next(f for f in conv.schema.fields if f.name == conv_col),
+                StructField("_base", LongType(), False),
+            ]
+        ),
+    )
+    if n_convs <= broadcast_max_convs:
+        bases = F.broadcast(bases)
+    joined = df.join(bases, conv_col)
+    if all_dense:
+        with_id = joined.withColumn(
+            "doc_id", (F.col("_base") + F.col(turn_col)).cast("long")
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(conv_col).orderBy(turn_col)
+        with_id = joined.withColumn(
+            "doc_id", (F.col("_base") + F.row_number().over(w) - 1).cast("long")
+        )
+    with_id = with_id.drop("_base")
+    if cfg is None:
+        with_id._lucene_pinned = ordered
+        return with_id
+    out = _docs_with_lengths(with_id, cfg)
+    out._lucene_pinned = ordered
+    return out
 
 
 def _invert_segment(cfg: IndexConfig):
@@ -361,6 +507,18 @@ def build_index(
     resume: bool = True,
 ) -> "SparkIndex":
     """End-to-end build: docs → segments (resumable) → merge → publish."""
+    import time as _time
+
+    _t0 = _time.time()
+    _timings: dict[str, float] = {}
+
+    def _mark(phase: str):
+        nonlocal _t0
+        _timings[phase] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
+        if os.environ.get("LUCENE_SPARK_BUILD_TIMINGS"):
+            print(f"[build] {phase}: {_timings[phase]}s", flush=True)
+
     cfg = cfg or IndexConfig()
     docs_path = os.path.join(index_dir, "docs")
     seg_path = os.path.join(index_dir, "segments")
@@ -372,46 +530,77 @@ def build_index(
     # ---- docs table (doc ids + lengths + norms) ----
     if not (resume and os.path.exists(os.path.join(docs_path, "_SUCCESS"))):
         if "doc_id" not in df.columns:
-            df = assign_doc_ids(df, order_cols or ["conv_id", "turn_idx"])
-        docs = _docs_with_lengths(df, cfg)
+            oc = order_cols or ["conv_id", "turn_idx"]
+            if len(oc) == 2:
+                # shuffle-free id assignment: conv prefix-sum + broadcast
+                # join + dense turn offsets (falls back to a windowed
+                # rank if turn_idx has gaps). Avoids sampling/sorting/
+                # persisting the full table.
+                docs = assign_doc_ids_dense(df, oc[0], oc[1], cfg=cfg)
+            else:
+                # general path: range exchange + offset-shifted local ids,
+                # with the length/norm kernel fused into the same pass
+                docs = assign_doc_ids(df, oc, cfg=cfg)
+        else:
+            docs = _docs_with_lengths(df, cfg)
         docs.write.mode("overwrite").parquet(docs_path)
+        pinned = getattr(docs, "_lucene_pinned", None)
+        if pinned is not None:
+            pinned.unpersist()
     docs = spark.read.parquet(docs_path)
+    _mark("docs")
 
     # ---- phase A: per-segment inversion, manifest-checkpointed ----
     done: set[int] = set()
+    # Resume unit = CHUNK of segments: chunk_id = seg_id //
+    # segments_per_commit (static mapping, independent of what is
+    # already done). Each chunk writes to its own seg_chunk=<c> subdir
+    # with a PLAIN parquet write — dynamic ``partitionBy`` writes were
+    # measured 2x slower (per-task sort + hundreds of tiny directories).
+    # A chunk's manifest rows are appended only after its data write
+    # completes, so "chunk id present in manifests" == durable.
+    done_chunks: set[int] = set()
     if resume and os.path.exists(os.path.join(manifest_path, "_SUCCESS")):
-        done = {
-            r["seg_id"] for r in spark.read.parquet(manifest_path).collect()
+        done_chunks = {
+            int(r["chunk"])
+            for r in spark.read.parquet(manifest_path).select("chunk").distinct().collect()
         }
-    # purge orphan segment data (written but never manifested — a build
+    # purge orphan chunk dirs (written but never manifested — a build
     # killed between block write and manifest commit) so resume can't
-    # append duplicates
+    # duplicate data
     if os.path.isdir(seg_path):
         import shutil
 
         for entry in os.listdir(seg_path):
-            if entry.startswith("seg_id="):
-                sid = int(entry.split("=", 1)[1])
-                if sid not in done:
+            if entry.startswith("seg_chunk="):
+                cid = int(entry.split("=", 1)[1])
+                if cid not in done_chunks:
                     shutil.rmtree(os.path.join(seg_path, entry))
     with_seg = docs.withColumn(
         "seg_id", (F.col("doc_id") / F.lit(cfg.seg_size)).cast("long")
     )
-    all_segs = sorted(
-        r["seg_id"] for r in with_seg.select("seg_id").distinct().collect()
-    )
-    pending = [s for s in all_segs if s not in done]
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    n_chunks = int(max_doc // (cfg.seg_size * cfg.segments_per_commit)) + 1
+    pending = [c for c in range(n_chunks) if c not in done_chunks]
+    _mark("seg_plan")
     invert = _invert_segment(cfg)
-    for i in range(0, len(pending), cfg.segments_per_commit):
-        chunk = pending[i : i + cfg.segments_per_commit]
-        part = with_seg.where(F.col("seg_id").isin([int(s) for s in chunk]))
+    # AQE partition coalescing merges the (few, fat) per-segment groups
+    # into fewer tasks and serializes the Python inversion kernels —
+    # measured 2x slower on local[32]. Pin full parallelism for phase A.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    coalesce_prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    span = cfg.seg_size * cfg.segments_per_commit
+    for c in pending:
+        chunk_dir = os.path.join(seg_path, f"seg_chunk={c}")
+        part = with_seg.where(
+            (F.col("doc_id") >= c * span) & (F.col("doc_id") < (c + 1) * span)
+        )
         blocks = part.groupBy("seg_id").applyInPandas(invert, POSTINGS_SCHEMA)
-        blocks.write.mode("append").partitionBy("seg_id").parquet(seg_path)
-        # manifest row per segment: lineage + counts (the resume unit)
+        blocks.write.mode("overwrite").parquet(chunk_dir)
+        # manifest rows per segment: lineage + counts (committed per chunk)
         m = (
-            spark.read.parquet(seg_path)
-            .withColumn("seg_id", F.col("seg_id").cast("long"))
-            .where(F.col("seg_id").isin([int(s) for s in chunk]))
+            spark.read.parquet(chunk_dir)
             .groupBy("seg_id")
             .agg(
                 F.sum("n").alias("n_postings"),
@@ -420,14 +609,15 @@ def build_index(
                 F.max("max_docid").alias("max_doc_id"),
                 F.count("*").alias("n_blocks"),
             )
+            .withColumn("chunk", F.lit(c).cast("long"))
             .withColumn("lineage", F.lit(f"docs_parquet:{docs_path}"))
         )
         m.write.mode("append").parquet(manifest_path)
+    spark.conf.set(coalesce_key, coalesce_prev)
+    _mark("segments")
 
     # ---- phase B: global merge (pure sort — see module docstring) ----
-    seg_blocks = spark.read.parquet(seg_path).withColumn(
-        "seg_id", F.col("seg_id").cast("long")
-    )
+    seg_blocks = spark.read.parquet(seg_path).drop("seg_chunk")
     n_merge = cfg.merge_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
@@ -435,6 +625,7 @@ def build_index(
         n_merge, "field", "term", "doc_base"
     ).sortWithinPartitions("field", "term", "doc_base")
     merged.write.mode("overwrite").parquet(postings_path)
+    _mark("merge")
 
     # ---- term dictionary (tiny rows: S per term, not posting-sized) ----
     td = (
@@ -449,6 +640,7 @@ def build_index(
         .sortWithinPartitions("field", "term")
     )
     td.write.mode("overwrite").parquet(dict_path)
+    _mark("term_dict")
 
     # ---- stats ----
     text_like = [
@@ -480,8 +672,10 @@ def build_index(
             "translit": cfg.analyzer.translit,
         },
     }
+    stats["build_timings_sec"] = _timings
     with open(stats_path, "w") as fh:
         json.dump(stats, fh)
+    _mark("stats")
 
     return load_index(spark, index_dir)
 

@@ -570,11 +570,15 @@ def topk_term_pruned(
     def decode_keys(keys) -> list:
         import types
 
-        cond = reduce(
-            lambda a, b: a | b,
-            [(F.col("seg_id") == s) & (F.col("doc_base") == d) for s, d in keys],
+        # broadcast-join the selected (seg_id, doc_base) keys instead of
+        # an OR-chain: hot terms can select thousands of blocks and a
+        # thousand-deep boolean expression tree overflows Catalyst
+        keys_df = spark.createDataFrame(
+            [(int(s), int(d)) for s, d in keys], "seg_id long, doc_base long"
         )
-        blocks = index.postings.where(base_cond & cond)
+        blocks = index.postings.where(base_cond).join(
+            F.broadcast(keys_df), ["seg_id", "doc_base"]
+        )
         fake = types.SimpleNamespace(postings=blocks)
         df = decode_postings(fake, [term])
         return (
