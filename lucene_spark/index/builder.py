@@ -695,6 +695,8 @@ class SparkIndex:
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
+        self.tombstones = None
+        self.refresh_tombstones()
         a = self.stats["analyzer"]
         self._analyzer = Analyzer(
             a["token_pattern"],
@@ -705,6 +707,12 @@ class SparkIndex:
         )
         self._default_field: str | None = None
         self._df_cache: dict[tuple[str, str], int] = {}
+
+    def refresh_tombstones(self) -> None:
+        """(Re)load the logical-delete tombstone table if present."""
+        from lucene_spark.index.lifecycle import load_tombstones
+
+        self.tombstones = load_tombstones(self.spark, self.index_dir)
 
     # ---------------------------------------------- IndexReader protocol
     @property

@@ -206,13 +206,30 @@ class SparkSearcher:
         k: int = 10,
         score_mode: str = "bm25",
         default_field: str | None = None,
+        sort_fields: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
-        """Parse/compile + execute; returns (doc_id, score) top-k DF."""
+        """Parse/compile + execute; returns (doc_id, score) top-k DF.
+
+        ``sort_fields``: optional [(stored_col, 'asc'|'desc'), ...] —
+        reference T4 sort-by-stored-fields (src/Index.php:742-825): hits
+        are ordered by the docs table's column values (id ASC tiebreak)
+        instead of score.
+        """
         ix = self.index
         if isinstance(query, str):
             ix.set_default_search_field(default_field)
             query = parse_query(query, default_field)
         q = query.rewrite(ix).optimize(ix)
+        if sort_fields:
+            hits = self.execute(q, k=0, score_mode=score_mode)
+            cols = [c for c, _d in sort_fields]
+            joined = hits.join(ix.docs.select("doc_id", *cols), "doc_id")
+            order = [
+                F.col(c).desc() if d.lower().startswith("d") else F.col(c).asc()
+                for c, d in sort_fields
+            ] + [F.col("doc_id").asc()]
+            out = joined.orderBy(*order).select("doc_id", "score", *cols)
+            return out.limit(k) if k else out
         return self.execute(q, k=k, score_mode=score_mode)
 
     def execute(self, q: Query, k: int = 10, score_mode: str = "bm25") -> DataFrame:
@@ -229,6 +246,17 @@ class SparkSearcher:
         if df is None:
             return empty
         out = df.where(F.col("score") != 0.0)
+        # logical deletes: skip tombstoned docs at hit-collection time,
+        # BEFORE top-score normalization — matching the reference, which
+        # checks its deletion bitmap while iterating matchedDocs
+        # (src/Index.php:705-724) and normalizes after (:731-735). Note
+        # idf/norms keep using pre-delete stats until optimize (W2 quirk).
+        if self.index.tombstones is not None:
+            out = out.join(
+                F.broadcast(self.index.tombstones.select("doc_id").distinct()),
+                "doc_id",
+                "left_anti",
+            )
         if score_mode == "classic":
             # top-score normalization when top > 1 (src/Index.php:731-735)
             top = out.agg(F.max("score").alias("m"))
