@@ -97,7 +97,14 @@ def decode_postings(
             for t in terms
         ],
     )
-    blocks = index.postings.where(cond)
+    # explicit projection: mapInPandas consumes whatever it is given, so
+    # without this select the parquet scan reads ALL columns — including
+    # pos_bin, the largest in the index — even for non-phrase queries.
+    # (.explain ReadSchema confirms the pruning.)
+    cols = ["field", "term", "doc_base", "docs_bin", "tfs_bin", "dls_bin"]
+    if need_positions:
+        cols.append("pos_bin")
+    blocks = index.postings.where(cond).select(*cols)
     schema = _DECODE_POS_SCHEMA if need_positions else _DECODE_SCHEMA
 
     def decode(it):
@@ -153,7 +160,9 @@ def dump_postings(index: SparkIndex, field: str) -> DataFrame:
     explode/groupBy recomputation from the raw text. One Arrow-batched
     decode pass over the postings scan, no shuffle.
     """
-    blocks = index.postings.where(F.col("field") == field)
+    blocks = index.postings.where(F.col("field") == field).select(
+        "term", "doc_base", "docs_bin", "tfs_bin", "dls_bin"
+    )
     schema = StructType(
         [
             StructField("term", StringType()),
