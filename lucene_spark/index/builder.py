@@ -547,6 +547,19 @@ def build_index(
         pinned = getattr(docs, "_lucene_pinned", None)
         if pinned is not None:
             pinned.unpersist()
+    # Split sizing: with the default 128 MB maxPartitionBytes a
+    # few-GB docs table packs into ~10 splits and the inversion
+    # shuffle's map stage runs 10-wide on a 32-core cluster (measured:
+    # only ~10 busy Python/JVM workers). Target ~2 splits per core,
+    # clamped to [16 MB, 128 MB] so the 100 TB case keeps 128 MB splits.
+    total_bytes = sum(
+        f.stat().st_size for f in os.scandir(docs_path) if f.name.endswith(".parquet")
+    )
+    par = spark.sparkContext.defaultParallelism
+    split_key = "spark.sql.files.maxPartitionBytes"
+    split_prev = spark.conf.get(split_key)
+    target = max(16 << 20, min(128 << 20, total_bytes // max(1, par * 2)))
+    spark.conf.set(split_key, str(target))
     docs = spark.read.parquet(docs_path)
     _mark("docs")
 
@@ -677,6 +690,7 @@ def build_index(
         json.dump(stats, fh)
     _mark("stats")
 
+    spark.conf.set(split_key, split_prev)
     return load_index(spark, index_dir)
 
 

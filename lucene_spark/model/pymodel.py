@@ -133,6 +133,10 @@ class PyIndex:
     def default_search_field(self):
         return self._default_field
 
+    def set_default_search_field(self, field: str | None) -> None:
+        """≙ Lucene::setDefaultSearchField (src/Lucene.php:92-104)."""
+        self._default_field = field
+
     # -------------------------------------------------- postings reads
     def term_docs(self, term: Term) -> list[int]:
         p = self.postings.get((term.field, term.text), {})

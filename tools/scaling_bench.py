@@ -70,23 +70,25 @@ def run(cpus: int, replicate: int) -> dict:
 def main():
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    lo_c = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi_c = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     # alternate parallelism levels so page-cache warmth is balanced;
     # report the best trial per level (steady-state throughput)
-    runs = {8: [], 32: []}
+    runs = {lo_c: [], hi_c: []}
     for _ in range(trials):
-        runs[32].append(run(32, replicate))
-        runs[8].append(run(8, replicate))
-    lo = min(runs[8], key=lambda r: r["build_sec"])
-    hi = min(runs[32], key=lambda r: r["build_sec"])
+        runs[hi_c].append(run(hi_c, replicate))
+        runs[lo_c].append(run(lo_c, replicate))
+    lo = min(runs[lo_c], key=lambda r: r["build_sec"])
+    hi = min(runs[hi_c], key=lambda r: r["build_sec"])
     eff = hi["turns_per_sec"] / lo["turns_per_sec"] / 4.0
     print(json.dumps({
         "metric": "index_build_scaling",
         "input": {"sf": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
                   "replicate": replicate, "n_turns": hi["n_turns"]},
-        "local8": lo, "local32": hi,
-        "local8_trials": [r["build_sec"] for r in runs[8]],
-        "local32_trials": [r["build_sec"] for r in runs[32]],
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"local{lo_c}": lo, f"local{hi_c}": hi,
+        f"local{lo_c}_trials": [r["build_sec"] for r in runs[lo_c]],
+        f"local{hi_c}_trials": [r["build_sec"] for r in runs[hi_c]],
+        f"scaling_efficiency_{lo_c}_to_{hi_c}": round(eff, 3),
     }))
 
 
