@@ -709,6 +709,9 @@ class SparkIndex:
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
+        self._delta_docs = 0
+        self._delta_field_stats: dict[str, dict[str, int]] = {}
+        self._attach_delta()
         self.tombstones = None
         self.refresh_tombstones()
         a = self.stats["analyzer"]
@@ -722,6 +725,45 @@ class SparkIndex:
         self._default_field: str | None = None
         self._df_cache: dict[tuple[str, str], int] = {}
 
+    def _attach_delta(self) -> None:
+        """Union unmerged streaming delta chunks into the queryable
+        views (an unmerged reference index is likewise searchable across
+        its whole segment list); term stats aggregate base + delta."""
+        droot = os.path.join(self.index_dir, "delta")
+        meta_dir = os.path.join(droot, "meta")
+        if not os.path.isdir(meta_dir):
+            return
+        spark = self.spark
+        d_post = spark.read.parquet(os.path.join(droot, "postings")).select(
+            self.postings.columns
+        )
+        self.postings = self.postings.unionByName(d_post)
+        d_docs = spark.read.parquet(os.path.join(droot, "docs")).select(
+            self.docs.columns
+        )
+        self.docs = self.docs.unionByName(d_docs)
+        d_td = spark.read.parquet(os.path.join(droot, "term_dict")).select(
+            self.term_dict.columns
+        )
+        self.term_dict = (
+            self.term_dict.unionByName(d_td)
+            .groupBy("field", "term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.sum("n_blocks").alias("n_blocks"),
+                F.max("max_tf").alias("max_tf"),
+            )
+        )
+        for m in spark.read.parquet(meta_dir).collect():
+            self._delta_docs += m["n_docs"]
+            for f, fs in json.loads(m["field_stats"]).items():
+                agg = self._delta_field_stats.setdefault(
+                    f, {"sum_len": 0, "n_docs_with_field": 0}
+                )
+                agg["sum_len"] += fs["sum_len"]
+                agg["n_docs_with_field"] += fs["n_docs_with_field"]
+
     def refresh_tombstones(self) -> None:
         """(Re)load the logical-delete tombstone table if present."""
         from lucene_spark.index.lifecycle import load_tombstones
@@ -731,7 +773,7 @@ class SparkIndex:
     # ---------------------------------------------- IndexReader protocol
     @property
     def n_docs(self) -> int:
-        return self.stats["n_docs"]
+        return self.stats["n_docs"] + self._delta_docs
 
     def field_names(self, indexed_only: bool = True) -> list[str]:
         return sorted(self.stats["fields"].keys())
@@ -790,5 +832,7 @@ class SparkIndex:
 
     def avg_field_len(self, field: str) -> float:
         fs = self.stats["fields"][field]
-        n = fs["n_docs_with_field"]
-        return fs["sum_len"] / n if n else 0.0
+        d = self._delta_field_stats.get(field, {})
+        n = fs["n_docs_with_field"] + d.get("n_docs_with_field", 0)
+        s = fs["sum_len"] + d.get("sum_len", 0)
+        return s / n if n else 0.0

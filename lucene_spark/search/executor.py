@@ -484,13 +484,42 @@ class SparkSearcher:
 
         from lucene_spark.search.phrase import phrase_freq
 
-        @F.pandas_udf(DoubleType())
-        def freq_udf(*pos_cols: pd.Series) -> pd.Series:
-            out = np.empty(len(pos_cols[0]), dtype=np.float64)
-            for r in range(len(pos_cols[0])):
-                positions = [list(pos_cols[i].iloc[r]) for i in range(n_terms)]
-                out[r] = phrase_freq(positions, offsets, slop)
-            return pd.Series(out)
+        if slop == 0:
+            # Batch-vectorized exact phrase: an alignment at start s
+            # exists iff s ∈ ∩_i (positions_i − offset_i). Encode
+            # (row, shifted_pos) as one int64 key and reduce the whole
+            # Arrow batch with sort-based np.isin — no per-row Python.
+            @F.pandas_udf(DoubleType())
+            def freq_udf(*pos_cols: pd.Series) -> pd.Series:
+                n_rows = len(pos_cols[0])
+                keys = []
+                for i in range(n_terms):
+                    lens = pos_cols[i].map(len).to_numpy(np.int64)
+                    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+                    flat = (
+                        np.concatenate(pos_cols[i].to_numpy())
+                        if lens.sum()
+                        else np.array([], dtype=np.int64)
+                    ).astype(np.int64)
+                    keys.append((rows << np.int64(32)) | (flat - offsets[i] + 2048))
+                common = keys[0]
+                for i in range(1, n_terms):
+                    common = common[np.isin(common, keys[i])]
+                freq = np.zeros(n_rows, dtype=np.float64)
+                if len(common):
+                    rows, counts = np.unique(common >> np.int64(32), return_counts=True)
+                    freq[rows] = counts
+                return pd.Series(freq)
+
+        else:
+
+            @F.pandas_udf(DoubleType())
+            def freq_udf(*pos_cols: pd.Series) -> pd.Series:
+                out = np.empty(len(pos_cols[0]), dtype=np.float64)
+                for r in range(len(pos_cols[0])):
+                    positions = [list(pos_cols[i].iloc[r]) for i in range(n_terms)]
+                    out[r] = phrase_freq(positions, offsets, slop)
+                return pd.Series(out)
 
         joined = joined.withColumn(
             "freq", freq_udf(*[F.col(f"_p{i}") for i in range(n_terms)])
