@@ -776,7 +776,8 @@ class SparkIndex:
         return self.stats["n_docs"] + self._delta_docs
 
     def field_names(self, indexed_only: bool = True) -> list[str]:
-        return sorted(self.stats["fields"].keys())
+        # field_policy insertion order ≙ the reference's .fnm order
+        return list(self.stats["fields"].keys())
 
     def set_default_search_field(self, f: str | None):
         self._default_field = f

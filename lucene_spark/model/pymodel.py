@@ -79,6 +79,7 @@ class PyIndex:
         self.n_docs = 0
         self.deleted: set[int] = set()
         self._sorted_terms_cache: dict[str, list[str]] = {}
+        self._field_order: list[str] = []  # first-seen ≙ .fnm order
 
     # ----------------------------------------------------------- build
     def add_document(self, fields: dict[str, str], boost: float = 1.0) -> int:
@@ -89,6 +90,8 @@ class PyIndex:
             kind = self.field_policy.get(name, "text")
             if value is None or kind == "ignore":
                 continue
+            if name not in self._field_order:
+                self._field_order.append(name)
             if kind == "keyword":
                 terms = [str(value)]
                 positions = [0]
@@ -110,7 +113,10 @@ class PyIndex:
 
     # ------------------------------------------------- reader protocol
     def field_names(self, indexed_only: bool = True) -> list[str]:
-        return sorted({f for (f, _t) in self.postings})
+        # first-seen order, like the reference's .fnm field table
+        # (AbstractSegmentWriter.php:203-219) — rewrite fan-out order
+        # and expansion term order depend on it
+        return list(self._field_order)
 
     def has_term(self, term: Term) -> bool:
         return (term.field, term.text) in self.postings

@@ -13,7 +13,7 @@ BooleanExpressionRecognizer.php):
   AND-conjunction becomes a signed Boolean clause, conjunctions are
   OR-combined as optional clauses; conjunctions containing only negated
   entries are dropped (QueryParserContext.php:121-364)
-- AND/OR/NOT/TO are recognized in upper case only
+- AND/OR/NOT/TO operator lexemes match case-insensitively (QueryToken.php:32-36)
 - ``\\x`` escapes any character inside words
 - default operator is OR (bare entries optional) — QueryParser.php:24-25
 
@@ -191,12 +191,18 @@ class _Parser:
                 pending_sign = False
                 has_signs = True
                 continue
-            if t.kind == "word" and t.text in ("AND", "OR") and not pending_not:
+            # operator lexemes match case-insensitively ('AND' or 'and'
+            # — reference QueryToken.php:32-34,79-86)
+            if (
+                t.kind == "word"
+                and t.text.lower() in ("and", "or")
+                and not pending_not
+            ):
                 self.next()
-                pending_op = t.text
+                pending_op = t.text.upper()
                 has_ops = True
                 continue
-            if t.kind == "word" and t.text == "NOT":
+            if t.kind == "word" and t.text.lower() == "not":
                 self.next()
                 pending_not = True
                 has_ops = True
@@ -223,8 +229,10 @@ class _Parser:
         return self._signs_style(entries)
 
     def _signs_style(self, entries: list[_Entry]) -> Query:
-        if len(entries) == 1 and entries[0].sign is not True and entries[0].sign is not False:
-            return entries[0].query
+        # the reference NEVER collapses a single sign-style entry — the
+        # Boolean wrapper stays (QueryParserContext::_signStyleExpressionQuery),
+        # which is why top-level rewrites print as '(sub)' even for one
+        # entry; optimize() collapses later
         q = BooleanQuery()
         for e in entries:
             q.add_subquery(e.query, e.sign)
@@ -316,7 +324,7 @@ class _Parser:
         if lo.kind not in ("word", "phrase"):
             raise QueryParserError("Bad range lower bound")
         to = self.next()
-        if to.kind != "word" or to.text != "TO":
+        if to.kind != "word" or to.text.lower() != "to":
             raise QueryParserError("Range must be '[lower TO upper]'")
         up = self.next()
         if up.kind not in ("word", "phrase"):

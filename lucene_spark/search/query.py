@@ -207,12 +207,18 @@ class MultiTermQuery(Query):
         return list(self.terms)
 
     def __str__(self):
+        # reference MultiTerm.php:593-620: no outer parens; '+' for
+        # required terms (signs===null means conjunction → all '+');
+        # boost wraps the whole list in parens
         parts = []
         for i, t in enumerate(self.terms):
             s = True if self.signs is None else self.signs[i]
             prefix = "+" if s is True else "-" if s is False else ""
             parts.append(f"{prefix}{t}")
-        return "(" + " ".join(parts) + ")" + _fmt_boost(self)
+        body = " ".join(parts)
+        if self.boost != 1.0:
+            return f"({body})" + _fmt_boost(self)
+        return body
 
 
 class BooleanQuery(Query):
@@ -376,7 +382,10 @@ class BooleanQuery(Query):
             g = self._sign(i)
             prefix = "+" if g is True else "-" if g is False else ""
             parts.append(f"{prefix}({s})")
-        return " ".join(parts) + _fmt_boost(self)
+        body = " ".join(parts)
+        if self.boost != 1.0:
+            return f"({body})" + _fmt_boost(self)
+        return body
 
 
 class PhraseQuery(Query):
@@ -778,14 +787,26 @@ class PrepFuzzyQuery(Query):
     def rewrite(self, reader):
         if self.field is None:
             q = BooleanQuery()
-            q.boost = self.boost
+            has_insignificant = False
             default_field = reader.default_search_field()
             fields = (
                 [default_field] if default_field is not None else reader.field_names(True)
             )
             for f in fields:
-                sub = PrepFuzzyQuery(self.word, f, self.min_similarity)
-                q.add_subquery(sub.rewrite(reader), None)
+                sub = PrepFuzzyQuery(self.word, f, self.min_similarity).rewrite(reader)
+                # fields with no fuzzy matches are SKIPPED, not kept as
+                # empty children (Preprocessing/Fuzzy.php:106-114)
+                if isinstance(sub, Insignificant):
+                    has_insignificant = True
+                    continue
+                if isinstance(sub, EmptyResult):
+                    continue
+                q.add_subquery(sub, None)
+            if not q.subqueries:
+                return Insignificant() if has_insignificant else EmptyResult()
+            if len(q.subqueries) == 1:
+                q = q.subqueries[0]
+            q.boost = self.boost
             return q
 
         toks = reader.analyzer().terms(self.word)
