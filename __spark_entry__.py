@@ -96,6 +96,32 @@ def _index_for(spark: SparkSession, sf_dir: str) -> SparkIndex:
     return ix
 
 
+def _transcripts_index_for(spark: SparkSession, sf_dir: str) -> SparkIndex:
+    """Gate index over the transcripts-shaped synthesis (input_hint
+    schema): exercises the dense conv-prefix-sum id path and keyword
+    fields end-to-end."""
+    key = os.path.abspath(sf_dir) + "#tr"
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_tr"
+    d = f"/tmp/lucene_spark_gate_{_VERSION}/{tag}"
+    if os.path.exists(os.path.join(d, "stats.json")):
+        ix = load_index(spark, d)
+    else:
+        tr = transcripts_from_documents(spark, sf_dir)
+        cfg = IndexConfig(
+            field_policy={
+                "text": "text", "conv_id": "keyword", "role": "keyword",
+                "tool": "keyword",
+            },
+            analyzer=GATE_ANALYZER,
+            seg_size=500,
+        )
+        ix = build_index(spark, tr, d, cfg, order_cols=["conv_id", "turn_idx"])
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -232,6 +258,20 @@ def _ft_classic_term(spark, sf_dir):
     return _searched(spark, sf_dir, "text:table", mode="classic")
 
 
+def _ft_transcripts_bool(spark, sf_dir):
+    """Field-qualified boolean over the transcripts index:
+    +text:table +role:user — text scoring plus a keyword-field term."""
+    ix = _transcripts_index_for(spark, sf_dir)
+    out = SparkSearcher(ix).search(
+        "+text:table +role:user", k=0, score_mode="bm25"
+    )
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
 def _ft_wand(spark, sf_dir):
     """Block-max-pruned single-term top-k (non-SQL execution strategy;
     result equals ft_term_topk — rows-only driver check)."""
@@ -337,6 +377,64 @@ result AS (
            round(CASE WHEN (SELECT max(s) FROM raw) > 1.0
                       THEN s / (SELECT max(s) FROM raw) ELSE s END, 6) AS score
     FROM raw WHERE s != 0
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+# transcripts oracle: rebuild the synthesis in SQL (same as tr_turns),
+# assign doc ids by row_number over (conv_id, turn_idx), then BM25 for
+# text:table plus the keyword-term contribution of role:user (engine
+# semantics: conjunction score = Σ per-term BM25; keyword fields have
+# tf=1, dl=1, avgdl=1 → partial = 1 → contribution = idf exactly).
+_FT_TRANSCRIPTS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, doc_id // 16 AS conv, {TOKEN_SQL} AS l,
+           greatest(1, CAST(ceil(len({TOKEN_SQL}) / 24.0) AS INT)) AS n_turns
+    FROM documents
+),
+based AS (
+    SELECT *, coalesce(sum(n_turns) OVER (
+        PARTITION BY conv ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_base
+    FROM d
+),
+turns AS (
+    SELECT printf('conv%08d', b.conv) AS conv_id,
+           b.turn_base + g.i AS turn_idx,
+           CASE WHEN (b.turn_base + g.i) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           array_to_string(b.l[(g.i * 24 + 1):(g.i * 24 + 24)], ' ') AS text
+    FROM based b, LATERAL (SELECT unnest(generate_series(0, b.n_turns - 1)) AS i) g
+),
+ids AS (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, *
+    FROM turns
+),
+toks AS (
+    SELECT t.doc_id, t.l[g.i] AS term
+    FROM (SELECT doc_id, {TOKEN_SQL} AS l FROM ids) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.l))) AS i) g
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corp AS (
+    SELECT (SELECT count(*) FROM ids) AS n,
+           (SELECT SUM(dl)::DOUBLE / COUNT(*) FROM dl) AS avgdl
+),
+rs AS (SELECT count(*) AS df FROM ids WHERE role = 'user'),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'table' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM tf),
+result AS (
+    SELECT t.doc_id,
+           round(
+               ln(1.0 + (c.n - x.df + 0.5) / (x.df + 0.5)) *
+               ((t.tf * ({K1} + 1.0)) / (t.tf + {K1} * ((1.0 - {B}) + {B} * l.dl / c.avgdl)))
+               +
+               ln(1.0 + (c.n - r.df + 0.5) / (r.df + 0.5)) *
+               ((1 * ({K1} + 1.0)) / (1 + {K1} * ((1.0 - {B}) + {B} * 1.0 / 1.0)))
+           , 6) AS score
+    FROM tf t
+    JOIN ids i ON i.doc_id = t.doc_id AND i.role = 'user'
+    JOIN dl l ON l.doc_id = t.doc_id, corp c, dfs x, rs r
 )
 SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """
@@ -863,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_range": _ft_range,
         "ft_fuzzy": _ft_fuzzy,
         "ft_classic_term": _ft_classic_term,
+        "ft_transcripts_bool": _ft_transcripts_bool,
         "ft_wand_topk": _ft_wand,
         "ix_postings": _ix_postings,
         "ix_term_dict": _ix_term_dict,
@@ -896,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_range": _FT_RANGE_SQL,
         "ft_fuzzy": _FT_FUZZY_SQL,
         "ft_classic_term": _FT_CLASSIC_SQL,
+        "ft_transcripts_bool": _FT_TRANSCRIPTS_SQL,
         # ft_wand_topk: block-max WAND is an execution strategy, not a
         # SQL-expressible op — rows-only check (equals ft_term_topk).
         "ix_postings": _IX_POSTINGS_SQL,
