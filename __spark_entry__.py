@@ -27,7 +27,10 @@ the whole build+search pipeline.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -75,8 +78,19 @@ GATE_ANALYZER = Analyzer(
 _IX_CACHE: dict[str, SparkIndex] = {}
 
 
+def _tune(spark: SparkSession) -> None:
+    """Right-size a driver-provided session for the small gate corpora
+    (a default 200-partition shuffle is pure overhead at sf<=0.1)."""
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "16")
+    except Exception:
+        pass
+
+
 def _index_for(spark: SparkSession, sf_dir: str) -> SparkIndex:
     """Build (or reopen) the gate index over sf_dir's documents table."""
+    _tune(spark)
     key = os.path.abspath(sf_dir)
     if key in _IX_CACHE:
         return _IX_CACHE[key]
@@ -100,6 +114,7 @@ def _transcripts_index_for(spark: SparkSession, sf_dir: str) -> SparkIndex:
     """Gate index over the transcripts-shaped synthesis (input_hint
     schema): exercises the dense conv-prefix-sum id path and keyword
     fields end-to-end."""
+    _tune(spark)
     key = os.path.abspath(sf_dir) + "#tr"
     if key in _IX_CACHE:
         return _IX_CACHE[key]
@@ -270,6 +285,14 @@ def _ft_transcripts_bool(spark, sf_dir):
         F.round("score", 6).alias("score"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
+def _ft_phrase_sloppy(spark, sf_dir):
+    """Sloppy phrase '"fast value"~2' — rows-only driver check: the
+    reference's candidate-queue freq algorithm (Phrase.php:425-491,
+    including its first-position mutation quirk) is not SQL-expressible;
+    model↔Spark equality is asserted in tests/test_spark_engine.py."""
+    return _searched(spark, sf_dir, '"fast value"~2')
 
 
 def _ft_wand(spark, sf_dir):
@@ -957,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_or": _ft_bool_or,
         "ft_bool_not": _ft_bool_not,
         "ft_phrase": _ft_phrase,
+        "ft_phrase_sloppy": _ft_phrase_sloppy,
         "ft_wildcard": _ft_wildcard,
         "ft_range": _ft_range,
         "ft_fuzzy": _ft_fuzzy,
