@@ -55,7 +55,7 @@ QUERY_SET = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
     spark = get_spark(

@@ -133,9 +133,10 @@ def decode_postings(
                     offs[run_starts] = np.diff(prior, prepend=np.int64(0))
                     pos = cs - np.cumsum(offs)
                     splits = np.cumsum(tfs)[:-1]
-                    out_pos.extend(
-                        [a.astype(np.int32).tolist() for a in np.split(pos, splits)]
-                    )
+                    # numpy views, not .tolist(): Arrow accepts ndarray
+                    # elements and per-doc Python lists dominate decode
+                    # time for stop-word-scale terms
+                    out_pos.extend(np.split(pos.astype(np.int32), splits))
             if not out_qid:
                 continue
             data = {
@@ -466,21 +467,44 @@ class SparkSearcher:
         raise TypeError(f"cannot execute {type(q).__name__}")
 
     def _phrase_df(self, q: PhraseQuery, qn: float, mode: str) -> DataFrame:
+        """Phrase matching with ONE shuffle: decoded per-term positions
+        are grouped by doc_id (collect_list of (qid, positions)) instead
+        of an (n_terms−1)-way self-join — at 10^6+ docs the join chain
+        re-shuffles the heavy positions arrays per term. Duplicate
+        phrase words share a decoded term (slot→unique-term mapping)."""
         ix = self.index
         N = ix.n_docs
-        posts = decode_postings(ix, q.terms, need_positions=True)
-        per_term = [
-            posts.where(F.col("qid") == i).select(
-                "doc_id",
-                F.col("positions").alias(f"_p{i}"),
-                F.col("dl").alias(f"_dl{i}"),
-            )
-            for i in range(len(q.terms))
+        # unique terms; each phrase slot maps to its unique term's qid
+        uniq: list[Term] = []
+        slot_qid: list[int] = []
+        for t in q.terms:
+            key = (t.field, t.text)
+            for j, u in enumerate(uniq):
+                if (u.field, u.text) == key:
+                    slot_qid.append(j)
+                    break
+            else:
+                slot_qid.append(len(uniq))
+                uniq.append(t)
+        n_uniq = len(uniq)
+        posts = decode_postings(ix, uniq, need_positions=True)
+        # pivot to one positions column per unique term (each (term,doc)
+        # appears exactly once — blocks are doc-disjoint) — plain array
+        # columns keep the freq kernel 100% numpy, no nested structs
+        aggs = [
+            F.first(F.when(F.col("qid") == j, F.col("positions")), ignorenulls=True)
+            .alias(f"_q{j}")
+            for j in range(n_uniq)
+        ] + [
+            F.first(F.when(F.col("qid") == 0, F.col("dl")), ignorenulls=True)
+            .alias("_dl0")
         ]
-        joined = reduce(lambda a, b: a.join(b, "doc_id"), per_term)
+        grouped = posts.groupBy("doc_id").agg(*aggs)
+        for j in range(n_uniq):
+            grouped = grouped.where(F.col(f"_q{j}").isNotNull())
         offsets = list(q.offsets)
         slop = q.slop
-        n_terms = len(q.terms)
+        n_slots = len(q.terms)
 
         from lucene_spark.search.phrase import phrase_freq
 
@@ -492,19 +516,26 @@ class SparkSearcher:
             @F.pandas_udf(DoubleType())
             def freq_udf(*pos_cols: pd.Series) -> pd.Series:
                 n_rows = len(pos_cols[0])
-                keys = []
-                for i in range(n_terms):
-                    lens = pos_cols[i].map(len).to_numpy(np.int64)
+                slot_keys = []
+                qid_cache: dict[int, tuple] = {}
+                for j in set(slot_qid):
+                    col = pos_cols[j]
+                    lens = col.map(len).to_numpy(np.int64)
                     rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
                     flat = (
-                        np.concatenate(pos_cols[i].to_numpy())
+                        np.concatenate(col.to_numpy())
                         if lens.sum()
                         else np.array([], dtype=np.int64)
                     ).astype(np.int64)
-                    keys.append((rows << np.int64(32)) | (flat - offsets[i] + 2048))
-                common = keys[0]
-                for i in range(1, n_terms):
-                    common = common[np.isin(common, keys[i])]
+                    qid_cache[j] = (rows, flat)
+                for i in range(n_slots):
+                    rows, flat = qid_cache[slot_qid[i]]
+                    slot_keys.append(
+                        (rows << np.int64(32)) | (flat - offsets[i] + 2048)
+                    )
+                common = slot_keys[0]
+                for i in range(1, n_slots):
+                    common = common[np.isin(common, slot_keys[i])]
                 freq = np.zeros(n_rows, dtype=np.float64)
                 if len(common):
                     rows, counts = np.unique(common >> np.int64(32), return_counts=True)
@@ -517,12 +548,14 @@ class SparkSearcher:
             def freq_udf(*pos_cols: pd.Series) -> pd.Series:
                 out = np.empty(len(pos_cols[0]), dtype=np.float64)
                 for r in range(len(pos_cols[0])):
-                    positions = [list(pos_cols[i].iloc[r]) for i in range(n_terms)]
+                    positions = [
+                        list(pos_cols[slot_qid[i]].iloc[r]) for i in range(n_slots)
+                    ]
                     out[r] = phrase_freq(positions, offsets, slop)
                 return pd.Series(out)
 
-        joined = joined.withColumn(
-            "freq", freq_udf(*[F.col(f"_p{i}") for i in range(n_terms)])
+        joined = grouped.withColumn(
+            "freq", freq_udf(*[F.col(f"_q{j}") for j in range(n_uniq)])
         ).where(F.col("freq") > 0)
 
         if mode == "classic":
