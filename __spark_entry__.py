@@ -287,6 +287,10 @@ def _ft_transcripts_bool(spark, sf_dir):
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
 
 
+def _ft_classic_bool(spark, sf_dir):
+    return _searched(spark, sf_dir, "+table +spark", mode="classic")
+
+
 def _ft_phrase_sloppy(spark, sf_dir):
     """Sloppy phrase '"fast value"~2' — rows-only driver check: the
     reference's candidate-queue freq algorithm (Phrase.php:425-491,
@@ -394,6 +398,50 @@ raw AS (
     SELECT t.doc_id,
            sqrt(t.tf) * (ln(c.n / (d.df + 1.0)) + 1.0) * n.nv AS s
     FROM tf t JOIN nrm n USING (doc_id), dfs d, corp c
+),
+result AS (
+    SELECT doc_id,
+           round(CASE WHEN (SELECT max(s) FROM raw) > 1.0
+                      THEN s / (SELECT max(s) FROM raw) ELSE s END, 6) AS score
+    FROM raw WHERE s != 0
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+# classic conjunction: queryNorm = 1/sqrt(Σ idf²) over the rewritten
+# terms, per-term score = sqrt(tf)·idf²·queryNorm·decodedNorm, coord=1
+# for a conjunction, then top-score normalization — full W1-W8 chain in
+# SQL (the byte-norm CTEs are shared with ft_classic_term).
+_FT_CLASSIC_BOOL_SQL = f"""
+WITH {_BASE_CTES},
+norm_tab(b, v) AS (VALUES {_NORM_TAB_VALUES}),
+x AS (SELECT doc_id, 1.0 / sqrt(dl) AS x FROM dl),
+hi AS (
+    SELECT x.doc_id, x.x, max(t.b) AS bhi
+    FROM x JOIN norm_tab t ON t.v <= x.x GROUP BY x.doc_id, x.x
+),
+enc AS (
+    SELECT h.doc_id,
+           CASE WHEN h.bhi < 255 AND (h.x - tl.v) > (tu.v - h.x)
+                THEN h.bhi + 1 ELSE h.bhi END AS nb
+    FROM hi h
+    JOIN norm_tab tl ON tl.b = h.bhi
+    LEFT JOIN norm_tab tu ON tu.b = h.bhi + 1
+),
+nrm AS (SELECT e.doc_id, t.v AS nv FROM enc e JOIN norm_tab t ON t.b = e.nb),
+tf2 AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN ('table', 'spark') GROUP BY doc_id, term
+),
+dfs2 AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf2) GROUP BY term),
+idfs AS (SELECT term, ln(c.n / (df + 1.0)) + 1.0 AS idf FROM dfs2, corp c),
+qn AS (SELECT 1.0 / sqrt(sum(idf * idf)) AS qn FROM idfs),
+raw AS (
+    SELECT t.doc_id,
+           sum(sqrt(t.tf) * (i.idf * 1.0 * q.qn * i.idf) * n.nv) AS s
+    FROM tf2 t JOIN idfs i USING (term) JOIN nrm n USING (doc_id), qn q
+    GROUP BY t.doc_id HAVING count(*) = 2
 ),
 result AS (
     SELECT doc_id,
@@ -985,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_range": _ft_range,
         "ft_fuzzy": _ft_fuzzy,
         "ft_classic_term": _ft_classic_term,
+        "ft_classic_bool": _ft_classic_bool,
         "ft_transcripts_bool": _ft_transcripts_bool,
         "ft_wand_topk": _ft_wand,
         "ix_postings": _ix_postings,
@@ -1019,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_range": _FT_RANGE_SQL,
         "ft_fuzzy": _FT_FUZZY_SQL,
         "ft_classic_term": _FT_CLASSIC_SQL,
+        "ft_classic_bool": _FT_CLASSIC_BOOL_SQL,
         "ft_transcripts_bool": _FT_TRANSCRIPTS_SQL,
         # ft_wand_topk: block-max WAND is an execution strategy, not a
         # SQL-expressible op — rows-only check (equals ft_term_topk).
