@@ -242,10 +242,35 @@ class SparkSearcher:
             return out.limit(k) if k else out
         return self.execute(q, k=k, score_mode=score_mode)
 
-    def execute(self, q: Query, k: int = 10, score_mode: str = "bm25") -> DataFrame:
+    def execute(
+        self,
+        q: Query,
+        k: int = 10,
+        score_mode: str = "bm25",
+        use_pruning: bool = True,
+    ) -> DataFrame:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if isinstance(q, (Insignificant, EmptyResult)):
             return empty
+        # Block-max fast path: a single-term BM25 top-k decodes only the
+        # blocks whose upper bound can reach the top-k (provably exact —
+        # see topk_term_pruned). At 40M docs this turns an O(df) decode
+        # (~9 s for a stop-word-scale term) into a few dozen blocks.
+        # Skipped when tombstones exist (pruning bounds ignore deletes)
+        # or when boost != 1 would rescale identically anyway.
+        if (
+            use_pruning
+            and k
+            and score_mode == "bm25"
+            and isinstance(q, TermQuery)
+            and q.boost == 1.0
+            and self.index.tombstones is None
+        ):
+            rows, _stats = topk_term_pruned(self.index, q.term, k=k)
+            return self.spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows],
+                "doc_id long, score double",
+            )
         terms = _collect_terms(q)
         self.index.prefetch_terms(terms)
         if score_mode == "classic":

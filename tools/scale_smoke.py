@@ -1,0 +1,95 @@
+"""Large-corpus smoke: build at tens of millions of turns, compare
+exact vs block-max-pruned single-term top-k latency.
+
+Usage: python tools/scale_smoke.py [replicate]   (default 3000 ≈ 40.7M turns)
+Prints one JSON line; paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lucene_spark.analysis import Analyzer  # noqa: E402
+from lucene_spark.data import synthesize_transcripts  # noqa: E402
+from lucene_spark.index.builder import IndexConfig, build_index  # noqa: E402
+from lucene_spark.search.executor import SparkSearcher  # noqa: E402
+from lucene_spark.search.parser import parse_query  # noqa: E402
+from lucene_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="scale_smoke", master=f"local[{cpus}]",
+                      shuffle_partitions=max(2 * cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        + "/documents.parquet"
+    )
+    tr = (
+        synthesize_transcripts(docs)
+        .crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
+        .select(
+            F.concat_ws("_", "conv_id", F.col("rep").cast("string")).alias("conv_id"),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+    )
+    d = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        t0 = time.time()
+        cfg = IndexConfig(
+            field_policy={"text": "text", "conv_id": "keyword", "role": "keyword",
+                          "tool": "keyword"},
+            analyzer=Analyzer("[a-zA-Z0-9]+", lowercase=True, name="bench"),
+            seg_size=16384, segments_per_commit=1024,
+        )
+        ix = build_index(spark, tr, d, cfg, order_cols=["conv_id", "turn_idx"])
+        build_sec = time.time() - t0
+        s = SparkSearcher(ix)
+        q = parse_query("text:table").rewrite(ix).optimize(ix)
+
+        t0 = time.time()
+        exact = s.execute(q, k=10, use_pruning=False).collect()
+        t_exact = time.time() - t0
+        t0 = time.time()
+        pruned = s.execute(q, k=10, use_pruning=True).collect()
+        t_pruned = time.time() - t0
+        assert [(r["doc_id"], round(r["score"], 9)) for r in exact] == [
+            (r["doc_id"], round(r["score"], 9)) for r in pruned
+        ], "pruned top-k must equal exact"
+        t0 = time.time()
+        s.search("+table +spark -vector", k=10).collect()
+        t_bool = time.time() - t0
+
+        from lucene_spark.search.executor import topk_term_pruned
+        from lucene_spark.search.query import Term
+
+        _rows, stats = topk_term_pruned(ix, Term("table", "text"), k=10)
+        print(json.dumps({
+            "n_turns": int(ix.n_docs),
+            "build_sec": round(build_sec, 1),
+            "turns_per_sec": round(ix.n_docs / build_sec),
+            "q_term_exact_sec": round(t_exact, 2),
+            "q_term_pruned_sec": round(t_pruned, 2),
+            "wand_blocks_total": stats["blocks_total"],
+            "wand_blocks_decoded": stats["blocks_decoded"],
+            "q_bool_sec": round(t_bool, 2),
+            "cpus": cpus,
+        }))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
