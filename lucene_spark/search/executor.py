@@ -101,53 +101,61 @@ def decode_postings(
     # without this select the parquet scan reads ALL columns — including
     # pos_bin, the largest in the index — even for non-phrase queries.
     # (.explain ReadSchema confirms the pruning.)
-    cols = ["field", "term", "doc_base", "docs_bin", "tfs_bin", "dls_bin"]
+    cols = ["field", "term", "doc_base", "n", "docs_bin", "tfs_bin", "dls_bin"]
     if need_positions:
         cols.append("pos_bin")
     blocks = index.postings.where(cond).select(*cols)
     schema = _DECODE_POS_SCHEMA if need_positions else _DECODE_SCHEMA
 
     def decode(it):
+        # Whole-batch decode: varbyte is self-delimiting, so the batch's
+        # blobs concatenate into ONE vb_decode call per stream; per-block
+        # doc-id reconstruction is pure numpy over the flat arrays. For
+        # stop-word-scale terms (10^5+ blocks) the per-block Python of a
+        # row loop dominates decode time — this kernel has none.
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            out_qid, out_doc, out_tf, out_dl, out_pos = [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                qid = qid_map.get((row.field, row.term))
-                if qid is None:
-                    continue
-                gaps = vb_decode(row.docs_bin).astype(np.int64)
-                docs = np.cumsum(gaps) + (int(row.doc_base) - int(gaps[0]))
-                tfs = vb_decode(row.tfs_bin).astype(np.int64)
-                dls = vb_decode(row.dls_bin).astype(np.int64)
-                out_qid.append(np.full(len(docs), qid, dtype=np.int32))
-                out_doc.append(docs)
-                out_tf.append(tfs)
-                out_dl.append(dls)
-                if need_positions:
-                    pgaps = vb_decode(row.pos_bin).astype(np.int64)
-                    run_starts = np.cumsum(tfs) - tfs
-                    cs = np.cumsum(pgaps)
-                    prior = np.where(run_starts > 0, cs[run_starts - 1], 0)
-                    offs = np.zeros(len(pgaps), dtype=np.int64)
-                    offs[run_starts] = np.diff(prior, prepend=np.int64(0))
-                    pos = cs - np.cumsum(offs)
-                    splits = np.cumsum(tfs)[:-1]
-                    # numpy views, not .tolist(): Arrow accepts ndarray
-                    # elements and per-doc Python lists dominate decode
-                    # time for stop-word-scale terms
-                    out_pos.extend(np.split(pos.astype(np.int32), splits))
-            if not out_qid:
+            qids_row = np.array(
+                [qid_map.get((f, t), -1) for f, t in zip(pdf["field"], pdf["term"])],
+                dtype=np.int32,
+            )
+            keep = qids_row >= 0
+            if not keep.any():
                 continue
+            pdf = pdf[keep]
+            qids_row = qids_row[keep]
+            n = pdf["n"].to_numpy(np.int64)
+            doc_base = pdf["doc_base"].to_numpy(np.int64)
+            total = int(n.sum())
+            starts = np.cumsum(n) - n
+
+            gaps = vb_decode(b"".join(pdf["docs_bin"])).astype(np.int64)
+            cs = np.cumsum(gaps)
+            prior = cs[starts] - gaps[starts]  # cumsum before each block
+            base = doc_base - gaps[starts]  # block base (doc encoding)
+            docs = cs - np.repeat(prior, n) + np.repeat(base, n)
+            tfs = vb_decode(b"".join(pdf["tfs_bin"])).astype(np.int64)
+            dls = vb_decode(b"".join(pdf["dls_bin"])).astype(np.int64)
             data = {
-                "qid": np.concatenate(out_qid),
-                "doc_id": np.concatenate(out_doc),
-                "tf": np.concatenate(out_tf).astype(np.int32),
-                "dl": np.concatenate(out_dl).astype(np.int32),
+                "qid": np.repeat(qids_row, n),
+                "doc_id": docs,
+                "tf": tfs.astype(np.int32),
+                "dl": dls.astype(np.int32),
             }
             res = pd.DataFrame(data)
             if need_positions:
-                res["positions"] = out_pos
+                # positions: per-(doc) runs of tf gaps, runs reset at
+                # each doc — reconstruct flat then split per doc
+                pgaps = vb_decode(b"".join(pdf["pos_bin"])).astype(np.int64)
+                run_starts = np.cumsum(tfs) - tfs  # doc-run starts (flat)
+                pcs = np.cumsum(pgaps)
+                prior_p = np.where(run_starts > 0, pcs[run_starts - 1], 0)
+                offs = np.zeros(len(pgaps), dtype=np.int64)
+                offs[run_starts] = np.diff(prior_p, prepend=np.int64(0))
+                pos = pcs - np.cumsum(offs)
+                splits = np.cumsum(tfs)[:-1]
+                res["positions"] = np.split(pos.astype(np.int32), splits)
             yield res
 
     return blocks.mapInPandas(decode, schema)
@@ -162,7 +170,7 @@ def dump_postings(index: SparkIndex, field: str) -> DataFrame:
     decode pass over the postings scan, no shuffle.
     """
     blocks = index.postings.where(F.col("field") == field).select(
-        "term", "doc_base", "docs_bin", "tfs_bin", "dls_bin"
+        "term", "doc_base", "n", "docs_bin", "tfs_bin", "dls_bin"
     )
     schema = StructType(
         [
@@ -174,25 +182,25 @@ def dump_postings(index: SparkIndex, field: str) -> DataFrame:
     )
 
     def decode(it):
+        # whole-batch varbyte decode (see decode_postings): one
+        # vb_decode per stream, per-block reconstruction in numpy
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            terms, docs, tfs, dls = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                gaps = vb_decode(row.docs_bin).astype(np.int64)
-                d = np.cumsum(gaps) + (int(row.doc_base) - int(gaps[0]))
-                t = vb_decode(row.tfs_bin).astype(np.int64)
-                dl = vb_decode(row.dls_bin).astype(np.int64)
-                terms.append(np.full(len(d), row.term, dtype=object))
-                docs.append(d)
-                tfs.append(t)
-                dls.append(dl)
+            n = pdf["n"].to_numpy(np.int64)
+            doc_base = pdf["doc_base"].to_numpy(np.int64)
+            starts = np.cumsum(n) - n
+            gaps = vb_decode(b"".join(pdf["docs_bin"])).astype(np.int64)
+            cs = np.cumsum(gaps)
+            prior = cs[starts] - gaps[starts]
+            base = doc_base - gaps[starts]
+            docs = cs - np.repeat(prior, n) + np.repeat(base, n)
             yield pd.DataFrame(
                 {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(docs),
-                    "tf": np.concatenate(tfs).astype(np.int32),
-                    "dl": np.concatenate(dls).astype(np.int32),
+                    "term": np.repeat(pdf["term"].to_numpy(dtype=object), n),
+                    "doc_id": docs,
+                    "tf": vb_decode(b"".join(pdf["tfs_bin"])).astype(np.int32),
+                    "dl": vb_decode(b"".join(pdf["dls_bin"])).astype(np.int32),
                 }
             )
 
@@ -252,14 +260,17 @@ class SparkSearcher:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if isinstance(q, (Insignificant, EmptyResult)):
             return empty
-        # Block-max fast path: a single-term BM25 top-k decodes only the
-        # blocks whose upper bound can reach the top-k (provably exact —
-        # see topk_term_pruned). At 40M docs this turns an O(df) decode
-        # (~9 s for a stop-word-scale term) into a few dozen blocks.
-        # Skipped when tombstones exist (pruning bounds ignore deletes)
-        # or when boost != 1 would rescale identically anyway.
+        # Block-max fast path (opt-in via use_pruning="force"): a
+        # single-term BM25 top-k decodes only blocks whose upper bound
+        # can reach the top-k (provably exact — see topk_term_pruned).
+        # Measured on the 40M-turn SYNTHETIC corpus it does NOT pay:
+        # near-constant tf/dl make block bounds uninformative (133k of
+        # 155k blocks survive) and the metadata collect adds latency —
+        # see BASELINE.md §5.5. On natural corpora with varying doc
+        # lengths the bounds separate and this is the serving path.
+        # Skipped when tombstones exist (bounds ignore deletes).
         if (
-            use_pruning
+            use_pruning == "force"
             and k
             and score_mode == "bm25"
             and isinstance(q, TermQuery)
