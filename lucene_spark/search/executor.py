@@ -82,12 +82,17 @@ _DECODE_POS_SCHEMA = StructType(
 
 
 def decode_postings(
-    index: SparkIndex, terms: list[Term], need_positions: bool = False
+    index: SparkIndex,
+    terms: list[Term],
+    need_positions: bool = False,
+    docs_only: bool = False,
 ) -> DataFrame:
     """One scan+decode for all query terms → (qid, doc_id, tf, dl[, pos]).
 
     qid = position of the term in ``terms``. The filter is an OR of
     (field, term) equalities — pushed down to the parquet scan.
+    ``docs_only`` skips the tf/dl streams entirely (constant 1s) — for
+    prohibited-clause membership checks that only need doc ids.
     """
     qid_map = {(t.field, t.text): i for i, t in enumerate(terms)}
     cond = reduce(
@@ -101,7 +106,9 @@ def decode_postings(
     # without this select the parquet scan reads ALL columns — including
     # pos_bin, the largest in the index — even for non-phrase queries.
     # (.explain ReadSchema confirms the pruning.)
-    cols = ["field", "term", "doc_base", "n", "docs_bin", "tfs_bin", "dls_bin"]
+    cols = ["field", "term", "doc_base", "n", "docs_bin"]
+    if not docs_only:
+        cols += ["tfs_bin", "dls_bin"]
     if need_positions:
         cols.append("pos_bin")
     blocks = index.postings.where(cond).select(*cols)
@@ -135,8 +142,12 @@ def decode_postings(
             prior = cs[starts] - gaps[starts]  # cumsum before each block
             base = doc_base - gaps[starts]  # block base (doc encoding)
             docs = cs - np.repeat(prior, n) + np.repeat(base, n)
-            tfs = vb_decode(b"".join(pdf["tfs_bin"])).astype(np.int64)
-            dls = vb_decode(b"".join(pdf["dls_bin"])).astype(np.int64)
+            if docs_only:
+                tfs = np.ones(len(docs), dtype=np.int64)
+                dls = tfs
+            else:
+                tfs = vb_decode(b"".join(pdf["tfs_bin"])).astype(np.int64)
+                dls = vb_decode(b"".join(pdf["dls_bin"])).astype(np.int64)
             data = {
                 "qid": np.repeat(qids_row, n),
                 "doc_id": docs,
@@ -428,7 +439,9 @@ class SparkSearcher:
             if req_ids:
                 agg = agg.where(F.col("_mr") == len(req_ids))
             if prohibited:
-                pro = decode_postings(ix, prohibited).select("doc_id").distinct()
+                pro = decode_postings(ix, prohibited, docs_only=True).select(
+                    "doc_id"
+                ).distinct()
                 agg = agg.join(pro, "doc_id", "left_anti")
             if mode == "classic":
                 if signs is None:
