@@ -8,6 +8,13 @@ from lucene_spark.codec.varbyte import (
     freq_stream_encode,
     freq_stream_decode,
 )
+from lucene_spark.codec.frontcode import (
+    TERMS_PER_BLOCK,
+    decode_term_block,
+    encode_term_block,
+    pack_term_runs,
+    write_dict_blocks,
+)
 from lucene_spark.codec.norms import (
     NORM_TABLE,
     encode_norm,
@@ -26,6 +33,11 @@ __all__ = [
     "decode_posting_block",
     "freq_stream_encode",
     "freq_stream_decode",
+    "TERMS_PER_BLOCK",
+    "decode_term_block",
+    "encode_term_block",
+    "pack_term_runs",
+    "write_dict_blocks",
     "NORM_TABLE",
     "encode_norm",
     "decode_norm",

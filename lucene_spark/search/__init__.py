@@ -15,6 +15,9 @@ from lucene_spark.search.query import (
     IndexReader,
 )
 from lucene_spark.search.parser import parse_query
+from lucene_spark.search.executor import SparkSearcher, dump_postings, topk_term_pruned
+from lucene_spark.search.multi import MultiSearcher
+from lucene_spark.search.highlight import highlight, highlight_column, highlight_terms
 from lucene_spark.search.similarity import (
     classic_tf,
     classic_idf,
@@ -40,6 +43,13 @@ __all__ = [
     "EmptyResult",
     "IndexReader",
     "parse_query",
+    "SparkSearcher",
+    "MultiSearcher",
+    "dump_postings",
+    "topk_term_pruned",
+    "highlight",
+    "highlight_column",
+    "highlight_terms",
     "classic_tf",
     "classic_idf",
     "bm25_idf",
