@@ -79,13 +79,34 @@ _IX_CACHE: dict[str, SparkIndex] = {}
 
 
 def _tune(spark: SparkSession) -> None:
-    """Right-size a driver-provided session for the small gate corpora
-    (a default 200-partition shuffle is pure overhead at sf<=0.1)."""
+    """Prepare a driver-provided session: right-size the shuffle for the
+    small gate corpora, and ship the lucene_spark package to the Python
+    workers (addPyFile) — the driver process may import this module from
+    any cwd, but executors' Python workers need the package on THEIR
+    sys.path for the Arrow kernels to deserialize."""
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > 32:
             spark.conf.set("spark.sql.shuffle.partitions", "16")
     except Exception:
         pass
+    if getattr(spark, "_lucene_pyfiles_added", False):
+        return
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = f"/tmp/lucene_spark_pkg_{_VERSION}.zip"
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(repo, "lucene_spark")
+            for root, _dirs, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.relpath(p, repo))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._lucene_pyfiles_added = True
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> SparkIndex:
@@ -138,10 +159,12 @@ def _transcripts_index_for(spark: SparkSession, sf_dir: str) -> SparkIndex:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)  # also ships the package zip to Python workers
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
