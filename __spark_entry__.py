@@ -91,20 +91,31 @@ def _tune(spark: SparkSession) -> None:
         pass
     if getattr(spark, "_lucene_pyfiles_added", False):
         return
+    import hashlib
     import zipfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    zip_path = f"/tmp/lucene_spark_pkg_{_VERSION}.zip"
+    pkg = os.path.join(repo, "lucene_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    sources.sort()
+    # key the shipped zip by a content hash of the package sources, so an
+    # edited kernel can never run against a stale worker-side copy
+    h = hashlib.sha256()
+    for p in sources:
+        h.update(p.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    zip_path = f"/tmp/lucene_spark_pkg_{h.hexdigest()[:16]}.zip"
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(repo, "lucene_spark")
-            for root, _dirs, files in os.walk(pkg):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        p = os.path.join(root, f)
-                        z.write(p, os.path.relpath(p, repo))
+            for p in sources:
+                z.write(p, os.path.relpath(p, repo))
     spark.sparkContext.addPyFile(zip_path)
     spark._lucene_pyfiles_added = True
 

@@ -4,7 +4,9 @@ latency over the transcripts-shaped corpus.
 Env:
   SPARK_GRAFT_SF_DIR     data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS       local[] threads (default 32)
-  SPARK_GRAFT_REPLICATE  transcript corpus replication factor (default 8)
+  SPARK_GRAFT_REPLICATE  transcript corpus replication factor (default 64,
+                         ≈869k turns at sf0.1 — the recorded baselines in
+                         BASELINE.md §5.3 use this default)
   SPARK_GRAFT_REPS       per-query repetitions for p50 (default 3)
 
 Prints ONE JSON line:

@@ -74,6 +74,7 @@ from lucene_spark.codec.varbyte import vb_encode
 
 BLOCK_SIZE = 128  # docs per posting block ≙ reference indexInterval
 # (AbstractSegmentWriter.php:30)
+MAX_BUILD_CHUNKS = 512  # cap on serial resume-chunk jobs in phase A
 
 
 @dataclass
@@ -92,6 +93,11 @@ class IndexConfig:
     segments_per_commit: int = 64  # manifest checkpoint granularity
     store_positions: bool = True
     merge_partitions: int | None = None  # default: shuffle.partitions
+    # index-time boosts, folded into the norm byte exactly like the
+    # reference: norm = lengthNorm · docBoost · fieldBoost
+    # (DocumentWriter.php:106-109, Document.php:16-32, Document/Field.php)
+    field_boosts: dict[str, float] = dc_field(default_factory=dict)
+    doc_boost_col: str | None = None  # input column with per-doc boost
 
 
 POSTINGS_SCHEMA = StructType(
@@ -112,6 +118,42 @@ POSTINGS_SCHEMA = StructType(
         StructField("pos_bin", BinaryType()),
     ]
 )
+
+
+def _emit_len_norm_cols(
+    pdf: pd.DataFrame,
+    out: pd.DataFrame,
+    analyzer: Analyzer,
+    text_fields: list[str],
+    kw_fields: list[str],
+    field_boosts: dict[str, float],
+    doc_boost_col: str | None,
+) -> pd.DataFrame:
+    """Shared Arrow-kernel body: len_<f> (surviving-token count) and
+    norm_<f> (quantized byte of lengthNorm·docBoost·fieldBoost —
+    DocumentWriter.php:106-109; keyword lengthNorm(1)=1)."""
+    doc_boost = (
+        pdf[doc_boost_col].astype(float).to_numpy(np.float64)
+        if doc_boost_col and doc_boost_col in pdf.columns
+        else np.float64(1.0)
+    )
+    for f in text_fields:
+        lens = analyzer.tokenize_series(pdf[f]).map(len).to_numpy(np.int64)
+        norms = encode_norm_array(
+            length_norm(lens) * doc_boost * field_boosts.get(f, 1.0)
+        )
+        # empty tokenized field → not indexed → norm byte 0
+        # (reference: DocumentWriter.php:101-104, missing-field norm)
+        norms = np.where(lens == 0, 0, norms)
+        out[f"len_{f}"] = lens
+        out[f"norm_{f}"] = norms.astype(np.int32)
+    for f in kw_fields:
+        present = pdf[f].notna().to_numpy()
+        vals = np.full(len(pdf), field_boosts.get(f, 1.0), np.float64) * doc_boost
+        norms = encode_norm_array(vals)
+        out[f"len_{f}"] = present.astype(np.int64)
+        out[f"norm_{f}"] = np.where(present, norms, 0).astype(np.int32)
+    return out
 
 
 def assign_doc_ids(
@@ -183,19 +225,11 @@ def assign_doc_ids(
                 doc_id=np.arange(seen, seen + len(pdf), dtype=np.int64) + base
             )
             seen += len(pdf)
-            for f in text_fields:
-                lens = analyzer.tokenize_series(pdf[f]).map(len).to_numpy(np.int64)
-                norms = encode_norm_array(length_norm(lens))
-                norms = np.where(lens == 0, 0, norms)
-                out[f"len_{f}"] = lens
-                out[f"norm_{f}"] = norms.astype(np.int32)
-            for f in kw_fields:
-                present = pdf[f].notna().to_numpy()
-                out[f"len_{f}"] = present.astype(np.int64)
-                out[f"norm_{f}"] = np.where(
-                    present, int(encode_norm_array(np.array([1.0]))[0]), 0
-                ).astype(np.int32)
-            yield out
+            yield _emit_len_norm_cols(
+                pdf, out, analyzer, text_fields, kw_fields,
+                cfg.field_boosts if cfg else {},
+                cfg.doc_boost_col if cfg else None,
+            )
 
     out = ordered.mapInPandas(add_ids, schema).drop("_pid")
     out._lucene_pinned = ordered  # builder unpersists after consuming
@@ -240,6 +274,7 @@ def assign_doc_ids_dense(
         F.count("*").alias("_cnt"),
         F.min(turn_col).alias("_mn"),
         F.max(turn_col).alias("_mx"),
+        F.countDistinct(turn_col).alias("_nd"),
     )
     ordered = (
         conv.repartitionByRange(n, conv_col)
@@ -252,8 +287,15 @@ def assign_doc_ids_dense(
         .agg(
             F.sum("_cnt").alias("rows"),
             F.count("*").alias("convs"),
+            # dense iff turn_idx is exactly the multiset {0..cnt-1}:
+            # min==0 and max==cnt-1 alone admit duplicates+holes like
+            # [0,1,1,3]; countDistinct==cnt makes the test sufficient
             F.sum(
-                ((F.col("_mn") == 0) & (F.col("_mx") == F.col("_cnt") - 1)).cast("long")
+                (
+                    (F.col("_mn") == 0)
+                    & (F.col("_mx") == F.col("_cnt") - 1)
+                    & (F.col("_nd") == F.col("_cnt"))
+                ).cast("long")
             ).alias("dense"),
         )
         .collect()
@@ -464,11 +506,14 @@ def _invert_segment(cfg: IndexConfig):
 
 
 def _docs_with_lengths(df: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Add len_<f> (surviving-token count) and norm_<f> (quantized byte)
-    per indexed field. Vectorized in one mapInPandas pass."""
+    """Add len_<f> (surviving-token count) and norm_<f> (quantized byte
+    of lengthNorm·docBoost·fieldBoost) per indexed field. Vectorized in
+    one mapInPandas pass."""
     text_fields = [f for f, k in cfg.field_policy.items() if k == "text"]
     kw_fields = [f for f, k in cfg.field_policy.items() if k == "keyword"]
     analyzer = cfg.analyzer
+    field_boosts = cfg.field_boosts
+    doc_boost_col = cfg.doc_boost_col
 
     new_fields = []
     for f in text_fields + kw_fields:
@@ -478,22 +523,10 @@ def _docs_with_lengths(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 
     def add_lens(it):
         for pdf in it:
-            out = pdf.copy()
-            for f in text_fields:
-                lens = analyzer.tokenize_series(pdf[f]).map(len).to_numpy(np.int64)
-                norms = encode_norm_array(length_norm(lens))
-                # empty tokenized field → not indexed → norm byte 0
-                # (reference: DocumentWriter.php:101-104, missing-field norm)
-                norms = np.where(lens == 0, 0, norms)
-                out[f"len_{f}"] = lens
-                out[f"norm_{f}"] = norms.astype(np.int32)
-            for f in kw_fields:
-                present = pdf[f].notna().to_numpy()
-                out[f"len_{f}"] = present.astype(np.int64)
-                out[f"norm_{f}"] = np.where(
-                    present, int(encode_norm_array(np.array([1.0]))[0]), 0
-                ).astype(np.int32)
-            yield out
+            yield _emit_len_norm_cols(
+                pdf, pdf.copy(), analyzer, text_fields, kw_fields,
+                field_boosts, doc_boost_col,
+            )
 
     return df.mapInPandas(add_lens, schema)
 
@@ -593,7 +626,16 @@ def build_index(
         "seg_id", (F.col("doc_id") / F.lit(cfg.seg_size)).cast("long")
     )
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
-    n_chunks = int(max_doc // (cfg.seg_size * cfg.segments_per_commit)) + 1
+    # Resume-chunk span scales with input: each chunk is one serial
+    # Spark job (~seconds of scheduling), so cap their count — at 10^12
+    # turns the configured span alone would mean ~156k serial jobs. The
+    # scaled span depends only on (input size, config), so the
+    # chunk↔doc-range mapping is stable across resume runs.
+    span = cfg.seg_size * cfg.segments_per_commit
+    n_chunks = int(max_doc // span) + 1
+    if n_chunks > MAX_BUILD_CHUNKS:
+        span *= -(-n_chunks // MAX_BUILD_CHUNKS)  # ceil division
+        n_chunks = int(max_doc // span) + 1
     pending = [c for c in range(n_chunks) if c not in done_chunks]
     _mark("seg_plan")
     invert = _invert_segment(cfg)
@@ -603,7 +645,6 @@ def build_index(
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     coalesce_prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
-    span = cfg.seg_size * cfg.segments_per_commit
     for c in pending:
         chunk_dir = os.path.join(seg_path, f"seg_chunk={c}")
         part = with_seg.where(
@@ -704,6 +745,11 @@ class SparkIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        if os.path.exists(os.path.join(index_dir, "_merge_commit.json")):
+            # a delta merge committed but crashed mid-swap — finish it
+            from lucene_spark.streaming.incremental import _finish_merge_swap
+
+            _finish_merge_swap(index_dir)
         self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
@@ -813,23 +859,37 @@ class SparkIndex:
             self.prefetch_terms([term])
         return self._df_cache[key]
 
-    def terms_from(self, field: str, start: str = ""):
+    def terms_from(self, field: str, start: str = "", page_size: int = 8192):
         """Sorted term iterator for dictionary expansion (wildcard/fuzzy/
-        range). Pulls at most TERMS_PER_QUERY_LIMIT+1 rows per call via a
-        pushed-down range filter — never a full dictionary collect."""
-        from lucene_spark.search.query import TERMS_PER_QUERY_LIMIT
-
-        rows = (
-            self.term_dict.where(
-                (F.col("field") == field) & (F.col("term") >= start)
+        range). Paginates the pushed-down range scan with a last-term
+        cursor so callers see the WHOLE term range — the reference scans
+        the full dictionary and caps only the MATCH count
+        (Wildcard.php:137, Fuzzy.php:210, Range.php:177); a fixed
+        single-call limit silently dropped matches past the window on
+        vocabularies over ~1k terms. Each page is one TakeOrdered over
+        the filtered scan (row-group pruning on the sorted term column);
+        the driver holds one page at a time, and lazy generation means
+        callers that break early (prefix exhausted, >1024 matches
+        raised) never pay for later pages."""
+        cursor = start
+        inclusive = True
+        while True:
+            cond = (F.col("field") == field) & (
+                (F.col("term") >= cursor) if inclusive else (F.col("term") > cursor)
             )
-            .orderBy("term")
-            .select("term")
-            .limit(TERMS_PER_QUERY_LIMIT + 2)
-            .collect()
-        )
-        for r in rows:
-            yield r["term"]
+            rows = (
+                self.term_dict.where(cond)
+                .orderBy("term")
+                .select("term")
+                .limit(page_size)
+                .collect()
+            )
+            for r in rows:
+                yield r["term"]
+            if len(rows) < page_size:
+                return
+            cursor = rows[-1]["term"]
+            inclusive = False
 
     def avg_field_len(self, field: str) -> float:
         fs = self.stats["fields"][field]

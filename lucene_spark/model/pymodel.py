@@ -66,10 +66,14 @@ class PyIndex:
         analyzer: Analyzer | None = None,
         field_policy: dict[str, str] | None = None,
         default_field: str | None = None,
+        field_boosts: dict[str, float] | None = None,
     ):
         self.an = analyzer or default_analyzer()
         # field -> 'text' (tokenized) | 'keyword' (single term, pos 0)
         self.field_policy = field_policy or {}
+        # index-time per-field boost, folded into the norm byte
+        # (reference: Document/Field.php boost, DocumentWriter.php:106-109)
+        self.field_boosts = field_boosts or {}
         self._default_field = default_field
         # postings[(field, term)] = {doc_id: [positions]}
         self.postings: dict[tuple[str, str], dict[int, list[int]]] = {}
@@ -106,7 +110,10 @@ class PyIndex:
                 self.postings.setdefault((name, t), {}).setdefault(doc_id, []).append(p)
             n = len(terms)
             self.field_lens.setdefault(name, {})[doc_id] = n
-            norm = length_norm(n) * boost if kind == "text" else 1.0 * boost
+            # norm = lengthNorm · docBoost · fieldBoost
+            # (DocumentWriter.php:106-109,131-133; keyword lengthNorm(1)=1)
+            fb = self.field_boosts.get(name, 1.0)
+            norm = (length_norm(n) if kind == "text" else 1.0) * boost * fb
             self.norm_bytes.setdefault(name, {})[doc_id] = encode_norm(norm)
         self._sorted_terms_cache.clear()
         return doc_id
@@ -186,10 +193,13 @@ class PyIndex:
         query: str | Query,
         limit: int = 0,
         score_mode: str = "classic",
+        default_operator: str = "OR",
     ) -> list[Hit]:
         """Reference Index::find lifecycle (src/Index.php:683-827)."""
         if isinstance(query, str):
-            query = parse_query(query, self._default_field)
+            query = parse_query(
+                query, self._default_field, default_operator=default_operator
+            )
         q = query.rewrite(self).optimize(self)
         if isinstance(q, (Insignificant, EmptyResult)):
             return []

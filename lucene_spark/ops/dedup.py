@@ -199,23 +199,57 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.8,
     shingle_n: int = 1,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard pairs >= threshold (id_a < id_b).
 
     Candidate pairs come from the inverted shingle→doc join (docs must
-    share >= 1 shingle), so cost is Σ_shingle df(shingle)^2 — the
-    classic index-based all-pairs similarity join. For web-scale input
-    combine with :func:`minhash_lsh_pairs` to pre-filter candidates.
+    share >= 1 shingle), so candidate cost is Σ_shingle df(shingle)² —
+    quadratic in the hottest shingle's frequency. ``max_shingle_df``
+    caps that: shingles seen in more than that many docs are excluded
+    from CANDIDATE GENERATION (standard prefix-filter practice — a
+    near-universal shingle carries no similarity signal but dominates
+    Σ df²), bounding candidates at Σ min(df, cap)². Verification then
+    counts common shingles over the FULL sets, so reported jaccard
+    values are exact; the only approximation is that a pair sharing
+    nothing but capped-hot shingles is not emitted. ``None`` (default)
+    keeps the fully exact single-pass plan. At web scale set the cap
+    (e.g. 10_000) or pre-filter with :func:`minhash_lsh_pairs`.
     """
     sh = _shingle_df(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    common = (
-        sh.select(F.col("id").alias("id_a"), "shingle")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    if max_shingle_df is not None:
+        rare = sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= int(max_shingle_df))
+            .select("shingle"),
+            "shingle",
+        )
+        cand = (
+            rare.select(F.col("id").alias("id_a"), "shingle")
+            .join(rare.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        common = (
+            cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("shingle")),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        common = (
+            sh.select(F.col("id").alias("id_a"), "shingle")
+            .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
     return (
         common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")

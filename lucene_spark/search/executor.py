@@ -220,6 +220,10 @@ def dump_postings(index: SparkIndex, field: str) -> DataFrame:
 
 # ------------------------------------------------------------- searcher
 
+PROHIBITED_BROADCAST_MAX_DF = 2_000_000  # ≈16 MB of doc ids — broadcast
+# the prohibited-set anti-join below this (Σ df bound, driver-known);
+# above it, fall back to the shuffled anti-join (AQE picks the strategy)
+
 
 class SparkSearcher:
     """Executes primitive query trees against a SparkIndex."""
@@ -236,6 +240,9 @@ class SparkSearcher:
         score_mode: str = "bm25",
         default_field: str | None = None,
         sort_fields: list[tuple[str, str]] | None = None,
+        pruning: str = "off",
+        default_operator: str = "OR",
+        result_set_limit: int = 0,
     ) -> DataFrame:
         """Parse/compile + execute; returns (doc_id, score) top-k DF.
 
@@ -243,14 +250,27 @@ class SparkSearcher:
         reference T4 sort-by-stored-fields (src/Index.php:742-825): hits
         are ordered by the docs table's column values (id ASC tiebreak)
         instead of score.
+
+        ``pruning``: block-max WAND policy for eligible BM25 top-k
+        queries — 'off' | 'auto' | 'force' (see :meth:`execute`).
+
+        ``default_operator``: 'OR' | 'AND' — bare query terms optional
+        vs required (``QueryParser::setDefaultOperator``; string queries
+        only).
+
+        ``result_set_limit``: reference parity mode for
+        ``Lucene::setResultSetLimit`` — truncates matched docs in
+        doc_id order BEFORE normalization/sorting (see :meth:`execute`).
         """
         ix = self.index
         if isinstance(query, str):
             ix.set_default_search_field(default_field)
-            query = parse_query(query, default_field)
+            query = parse_query(query, default_field, default_operator=default_operator)
         q = query.rewrite(ix).optimize(ix)
         if sort_fields:
-            hits = self.execute(q, k=0, score_mode=score_mode)
+            hits = self.execute(
+                q, k=0, score_mode=score_mode, result_set_limit=result_set_limit
+            )
             cols = [c for c, _d in sort_fields]
             joined = hits.join(ix.docs.select("doc_id", *cols), "doc_id")
             order = [
@@ -259,40 +279,70 @@ class SparkSearcher:
             ] + [F.col("doc_id").asc()]
             out = joined.orderBy(*order).select("doc_id", "score", *cols)
             return out.limit(k) if k else out
-        return self.execute(q, k=k, score_mode=score_mode)
+        return self.execute(
+            q,
+            k=k,
+            score_mode=score_mode,
+            pruning=pruning,
+            result_set_limit=result_set_limit,
+        )
 
     def execute(
         self,
         q: Query,
         k: int = 10,
         score_mode: str = "bm25",
-        use_pruning: bool = True,
+        pruning: str = "off",
+        result_set_limit: int = 0,
     ) -> DataFrame:
+        """Execute an optimized primitive tree.
+
+        ``pruning`` selects the block-max WAND path for eligible queries
+        (BM25, k>0, no tombstones, single-term or pure-OR MultiTerm):
+
+        - ``'off'``   — always the exact full-scan plan (default: on
+          corpora with near-constant tf/dl the bounds don't separate and
+          pruning only adds jobs — see BASELINE.md §5.5);
+        - ``'auto'``  — WAND when the summed df is large enough that
+          skipping blocks can pay (>= AUTO_PRUNING_MIN_DF);
+        - ``'force'`` — WAND whenever eligible (bench/validation).
+
+        The value must be one of these strings — a boolean raises, so a
+        caller can never pass True and silently get 'off'.
+
+        ``result_set_limit`` > 0 reproduces the reference's pre-sort
+        resultSetLimit quirk (src/Index.php:705-735): the matched set is
+        truncated to the first N hits in docId order, and top-score
+        normalization (classic) plus the final score sort run on the
+        TRUNCATED set. Incompatible with pruning (WAND selects by score,
+        not docId) — pruning is bypassed when a limit is set.
+        """
+        if pruning not in ("off", "auto", "force"):
+            raise TypeError(
+                f"pruning must be 'off', 'auto' or 'force' (got {pruning!r})"
+            )
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if isinstance(q, (Insignificant, EmptyResult)):
             return empty
-        # Block-max fast path (opt-in via use_pruning="force"): a
-        # single-term BM25 top-k decodes only blocks whose upper bound
-        # can reach the top-k (provably exact — see topk_term_pruned).
-        # Measured on the 40M-turn SYNTHETIC corpus it does NOT pay:
-        # near-constant tf/dl make block bounds uninformative (133k of
-        # 155k blocks survive) and the metadata collect adds latency —
-        # see BASELINE.md §5.5. On natural corpora with varying doc
-        # lengths the bounds separate and this is the serving path.
-        # Skipped when tombstones exist (bounds ignore deletes).
         if (
-            use_pruning == "force"
+            pruning != "off"
             and k
+            and not result_set_limit
             and score_mode == "bm25"
-            and isinstance(q, TermQuery)
-            and q.boost == 1.0
-            and self.index.tombstones is None
+            and self.index.tombstones is None  # bounds ignore deletes
         ):
-            rows, _stats = topk_term_pruned(self.index, q.term, k=k)
-            return self.spark.createDataFrame(
-                [(int(r["doc_id"]), float(r["score"])) for r in rows],
-                "doc_id long, score double",
-            )
+            cand = _wand_terms(q)
+            if cand is not None:
+                terms = [t for t, _b in cand]
+                self.index.prefetch_terms(terms)
+                total_df = sum(self.index.doc_freq(t) for t in terms)
+                if pruning == "force" or total_df >= AUTO_PRUNING_MIN_DF:
+                    N = self.index.n_docs
+                    weights = [
+                        b * bm25_idf(self.index.doc_freq(t), N) for t, b in cand
+                    ]
+                    out, _stats = topk_wand(self.index, terms, weights, k=k)
+                    return out
         terms = _collect_terms(q)
         self.index.prefetch_terms(terms)
         if score_mode == "classic":
@@ -314,6 +364,12 @@ class SparkSearcher:
                 "doc_id",
                 "left_anti",
             )
+        if result_set_limit:
+            # QUIRK parity: truncate in docId order BEFORE normalization
+            # and the score sort (src/Index.php:705-724) — the reference
+            # stops collecting hits at the limit while iterating
+            # matchedDocs (a docId-ordered array)
+            out = out.orderBy(F.col("doc_id").asc()).limit(int(result_set_limit))
         if score_mode == "classic":
             # top-score normalization when top > 1 (src/Index.php:731-735)
             top = out.agg(F.max("score").alias("m"))
@@ -442,6 +498,14 @@ class SparkSearcher:
                 pro = decode_postings(ix, prohibited, docs_only=True).select(
                     "doc_id"
                 ).distinct()
+                # Σ df (driver-known) bounds the prohibited set: broadcast
+                # the anti-join when it fits — removes the exchange that
+                # dominates hot-NOT queries at 10^7+ docs (BASELINE §5.5)
+                if (
+                    sum(ix.doc_freq(t) for t in prohibited)
+                    <= PROHIBITED_BROADCAST_MAX_DF
+                ):
+                    pro = F.broadcast(pro)
                 agg = agg.join(pro, "doc_id", "left_anti")
             if mode == "classic":
                 if signs is None:
@@ -468,6 +532,9 @@ class SparkSearcher:
                 subs.append((df, s))
             pos = [(df, s) for df, s in subs if s is not False]
             pro = [df for df, s in subs if s is False]
+            pro_qs = [
+                sub for sub, (_df, s) in zip(q.subqueries, subs) if s is False
+            ]
             tagged = [
                 df.select(
                     "doc_id",
@@ -490,6 +557,13 @@ class SparkSearcher:
                 pro_un = reduce(
                     lambda a, b: a.unionByName(b), [p.select("doc_id") for p in pro]
                 ).distinct()
+                # Σ df over the prohibited subtrees' terms upper-bounds
+                # their matched-doc union — broadcast when small
+                pro_df_bound = sum(
+                    ix.doc_freq(t) for pq in pro_qs for t in pq.query_terms()
+                )
+                if pro_df_bound <= PROHIBITED_BROADCAST_MAX_DF:
+                    pro_un = F.broadcast(pro_un)
                 agg = agg.join(pro_un, "doc_id", "left_anti")
             if mode == "classic":
                 if signs is None:
@@ -555,8 +629,6 @@ class SparkSearcher:
         slop = q.slop
         n_slots = len(q.terms)
 
-        from lucene_spark.search.phrase import phrase_freq
-
         if slop == 0:
             # Batch-vectorized exact phrase: an alignment at start s
             # exists iff s ∈ ∩_i (positions_i − offset_i). Encode
@@ -592,15 +664,64 @@ class SparkSearcher:
                 return pd.Series(freq)
 
         else:
+            # Sloppy phrases (any slot count): vectorized
+            # NECESSARY-condition prefilter, then the quirk-faithful
+            # candidate queue (phrase.sloppy_phrase_freq — the single
+            # source of truth shared with the model, so scores are
+            # BIT-identical to the reference semantics, accumulation
+            # order included) only on surviving rows. A doc can have
+            # freq > 0 only if some integer start has every slot i
+            # holding a position within
+            # [start+offsets[i]−slop, start+offsets[i]+slop] (min
+            # candidate distance ≤ slop bounds each per-term deviation).
+            # That is the exact kernel's intersection dilated by
+            # (2·slop+1) shifts — same int64-key np.isin reduction — so
+            # the per-row Python queue runs ONLY on docs that can
+            # actually match, not on every candidate row (the round-1
+            # anti-pattern). A fully-vectorized closed form exists for
+            # two slots (see the ft_phrase_sloppy oracle SQL in
+            # __spark_entry__.py, fuzz-verified) but sums pair
+            # contributions in a different float order than the queue,
+            # breaking exact rank parity on near-tied classic scores —
+            # parity wins; the prefilter keeps the Python off the fast
+            # path.
+            from lucene_spark.search.phrase import sloppy_phrase_freq
+
+            bias = slop + max(offsets) + 2  # keys stay positive
 
             @F.pandas_udf(DoubleType())
             def freq_udf(*pos_cols: pd.Series) -> pd.Series:
-                out = np.empty(len(pos_cols[0]), dtype=np.float64)
-                for r in range(len(pos_cols[0])):
-                    positions = [
-                        list(pos_cols[slot_qid[i]].iloc[r]) for i in range(n_slots)
-                    ]
-                    out[r] = phrase_freq(positions, offsets, slop)
+                n_rows = len(pos_cols[0])
+                qid_cache: dict[int, tuple] = {}
+                for j in set(slot_qid):
+                    col = pos_cols[j]
+                    lens = col.map(len).to_numpy(np.int64)
+                    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+                    flat = (
+                        np.concatenate(col.to_numpy())
+                        if lens.sum()
+                        else np.array([], dtype=np.int64)
+                    ).astype(np.int64)
+                    qid_cache[j] = (rows, flat)
+                width = 2 * slop + 1
+                shifts = np.arange(-slop, slop + 1, dtype=np.int64)
+                common = None
+                for i in range(n_slots):
+                    rows, flat = qid_cache[slot_qid[i]]
+                    starts = flat - offsets[i] + bias
+                    keys = (np.repeat(rows, width) << np.int64(32)) | (
+                        np.repeat(starts, width) + np.tile(shifts, len(flat))
+                    )
+                    keys = np.unique(keys)
+                    common = keys if common is None else common[np.isin(common, keys)]
+                out = np.zeros(n_rows, dtype=np.float64)
+                if common is not None and len(common):
+                    for r in np.unique(common >> np.int64(32)):
+                        positions = [
+                            list(pos_cols[slot_qid[i]].iloc[int(r)])
+                            for i in range(n_slots)
+                        ]
+                        out[int(r)] = sloppy_phrase_freq(positions, offsets, slop)
                 return pd.Series(out)
 
         joined = grouped.withColumn(
@@ -658,103 +779,177 @@ def _collect_terms(q: Query) -> list[Term]:
 
 # ------------------------------------------------- block-max top-k path
 
+AUTO_PRUNING_MIN_DF = 65536  # 'auto' pruning: below this, block skipping
+# can't amortize the extra metadata jobs
+
+
+def _wand_terms(q: Query) -> list[tuple[Term, float]] | None:
+    """[(term, boost)] if ``q`` is WAND-servable: a single term or a
+    pure disjunction (MultiTerm with every sign optional)."""
+    if isinstance(q, TermQuery):
+        return [(q.term, q.boost)]
+    if (
+        isinstance(q, MultiTermQuery)
+        and q.signs is not None
+        and all(s is None for s in q.signs)
+    ):
+        return [(t, q.boost) for t in q.terms]
+    return None
+
+
+def topk_wand(
+    index: SparkIndex,
+    terms: list[Term],
+    weights: list[float],
+    k: int = 10,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict | None]:
+    """Distributed block-max WAND: exact BM25 top-k for a weighted
+    disjunction, decoding only blocks whose upper bound can reach the
+    top-k. score(doc) = sum_t weights[t] * bm25_partial(tf, dl).
+
+    Per-(term, block) metadata gives ub = w_t * partial(block_max_tf,
+    block_min_dl) (partial increasing in tf, decreasing in dl). Two
+    rounds, both provably exact, and NOTHING block-sized ever reaches
+    the driver — a stop-word term at 10^11 postings flows only through
+    DataFrame aggregations over the metadata columns (parquet column
+    pruning keeps the binary streams unread until decode):
+
+    1. seed θ: TakeOrdered the top-k blocks by ub (≤ k KEY rows to the
+       driver — bounded by k, not by df), decode them, sum the decoded
+       contributions per doc (a LOWER bound on each doc's true score),
+       θ = kth-largest lower bound (−inf if < k docs). There exist k
+       docs with true score ≥ θ, so the true kth score ≥ θ.
+    2. keep block b of term t iff ub_b + Σ_{t'≠t} segmax_{t',seg(b)}
+       ≥ θ, where segmax is the per-(segment, term) max ub — a
+       metadata-only groupBy joined back to the scan. Every doc d in a
+       dropped block has ub_doc(d) ≤ the dropped bound < θ ≤ true kth
+       score, so no doc of the true top-k (ties included — the filter
+       is ≥, not >) loses a contribution. Decode survivors, sum per
+       doc, TakeOrdered k.
+
+    For a single term the cross-term sum is empty and the filter is the
+    classic per-block ub ≥ θ; for OR-of-terms this is block-max WAND
+    with segment-granular cross-term bounds (reference has no WAND —
+    this is the scale path the north rule asks for). Returns (top-k
+    DataFrame (doc_id, score), stats dict when ``collect_stats`` — two
+    extra metadata-only count jobs).
+    """
+    import types
+
+    spark = index.spark
+    k = max(int(k), 1)
+    k1, b = float(BM25_K1), float(BM25_B)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+
+    cond = reduce(
+        lambda a, c: a | c,
+        [(F.col("field") == t.field) & (F.col("term") == t.text) for t in terms],
+    )
+    # per-term literal lookups as WHEN chains (T = #query terms, tiny)
+    w_expr = F.lit(0.0)
+    avgdl_expr = F.lit(1.0)
+    for t, w in zip(terms, weights):
+        this = (F.col("field") == t.field) & (F.col("term") == t.text)
+        w_expr = F.when(this, F.lit(float(w))).otherwise(w_expr)
+        avgdl_expr = F.when(
+            this, F.lit(float(index.avg_field_len(t.field)))
+        ).otherwise(avgdl_expr)
+    ub = w_expr * (
+        (F.col("block_max_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("block_max_tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("block_min_dl") / avgdl_expr)
+        )
+    )
+    meta_cols = ["field", "term", "seg_id", "block_id"]
+    meta = (
+        index.postings.where(cond)
+        .select(*meta_cols, "n", "block_max_tf", "block_min_dl")
+        .withColumn("_ub", ub)
+    )
+
+    avgdls = [index.avg_field_len(t.field) for t in terms]
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    a_arr = F.array(*[F.lit(float(a)) for a in avgdls])
+
+    def score_blocks(blocks: DataFrame) -> DataFrame:
+        decoded = decode_postings(types.SimpleNamespace(postings=blocks), terms)
+        partial = (F.col("tf") * F.lit(k1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.element_at(a_arr, F.col("qid") + 1)
+            )
+        )
+        s = F.element_at(w_arr, F.col("qid") + 1) * partial
+        return (
+            decoded.select("doc_id", s.alias("_s"))
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+        )
+
+    # round 1: seed θ from the k highest-ub blocks (TakeOrdered — the
+    # driver receives ≤ k key rows regardless of term df)
+    seed_keys = [
+        tuple(r[c] for c in meta_cols)
+        for r in meta.orderBy(F.col("_ub").desc()).select(*meta_cols).limit(k).collect()
+    ]
+    if not seed_keys:
+        return (
+            empty,
+            {"blocks_total": 0, "blocks_decoded": 0, "theta": None}
+            if collect_stats
+            else None,
+        )
+    theta = float("-inf")
+    keys_df = spark.createDataFrame(
+        seed_keys, "field string, term string, seg_id long, block_id long"
+    )
+    seed_blocks = index.postings.where(cond).join(F.broadcast(keys_df), meta_cols)
+    seed_rows = (
+        score_blocks(seed_blocks)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) >= k:
+        theta = float(seed_rows[k - 1]["score"])
+
+    # round 2: metadata-only survivor filter, joined back to the scan
+    segmax = meta.groupBy("seg_id", "field", "term").agg(
+        F.max("_ub").alias("_segmax")
+    )
+    segsum = segmax.groupBy("seg_id").agg(F.sum("_segmax").alias("_segsum"))
+    survivors = (
+        index.postings.where(cond)
+        .join(segmax, ["seg_id", "field", "term"])
+        .join(segsum, "seg_id")
+        .where(ub + (F.col("_segsum") - F.col("_segmax")) >= F.lit(theta))
+    )
+    out = (
+        score_blocks(survivors)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    stats = None
+    if collect_stats:
+        stats = {
+            "blocks_total": meta.count(),
+            "blocks_decoded": survivors.select(*meta_cols).count(),
+            "theta": theta,
+        }
+    return out, stats
+
 
 def topk_term_pruned(
     index: SparkIndex, term: Term, k: int = 10
 ) -> tuple[list, dict]:
-    """Single-term BM25 top-k with EXACT block-max pruning.
-
-    Per-block metadata (block_max_tf, block_min_dl) yields a score UPPER
-    bound ub = idf·partial(max_tf, min_dl) (partial is increasing in tf,
-    decreasing in dl). Two rounds, both provably exact:
-
-    1. decode the blocks with the highest ubs covering ≥ k postings →
-       exact candidate scores → θ = kth best exact score;
-    2. decode every remaining block with ub > θ (any block with ub ≤ θ
-       cannot contain a doc beating the current kth) → merge, take k.
-
-    Block metadata for ONE term is n_postings/128 rows — collected to
-    the driver here; for stop-word-scale terms at 10^12 docs the same
-    two-round protocol runs as DataFrame filters on the metadata columns
-    (no collect); this implementation targets the serving path where
-    per-term block counts are ≤ millions.
-
-    Returns (top-k rows, pruning stats).
-    """
-    from lucene_spark.search.similarity import bm25_partial
-
-    spark = index.spark
-    base_cond = (F.col("field") == term.field) & (F.col("term") == term.text)
-    meta = (
-        index.postings.where(base_cond)
-        .select("seg_id", "block_id", "doc_base", "n", "block_max_tf", "block_min_dl")
-        .collect()
-    )
-    stats = {"blocks_total": len(meta), "blocks_decoded": 0}
-    if not meta:
-        return [], stats
-    N = index.n_docs
-    idf = bm25_idf(index.doc_freq(term), N)
-    avgdl = index.avg_field_len(term.field)
-    k1, b = float(BM25_K1), float(BM25_B)
-
-    ubs = sorted(
-        (
-            (
-                idf * bm25_partial(r["block_max_tf"], r["block_min_dl"], avgdl),
-                r["n"],
-                (r["seg_id"], r["doc_base"]),
-            )
-            for r in meta
-        ),
-        key=lambda x: -x[0],
-    )
-
-    partial_expr = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    )
-
-    def decode_keys(keys) -> list:
-        import types
-
-        # broadcast-join the selected (seg_id, doc_base) keys instead of
-        # an OR-chain: hot terms can select thousands of blocks and a
-        # thousand-deep boolean expression tree overflows Catalyst
-        keys_df = spark.createDataFrame(
-            [(int(s), int(d)) for s, d in keys], "seg_id long, doc_base long"
-        )
-        blocks = index.postings.where(base_cond).join(
-            F.broadcast(keys_df), ["seg_id", "doc_base"]
-        )
-        fake = types.SimpleNamespace(postings=blocks)
-        df = decode_postings(fake, [term])
-        return (
-            df.select("doc_id", (F.lit(idf) * partial_expr).alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(max(k, 1))
-            .collect()
-        )
-
-    # round 1: highest-ub blocks covering >= k postings
-    covered = 0
-    round1 = []
-    for ub, n, key in ubs:
-        round1.append(key)
-        covered += n
-        if covered >= k:
-            break
-    hits = decode_keys(round1)
-    theta = hits[-1]["score"] if len(hits) >= k else float("-inf")
-
-    # round 2: any remaining block whose ub beats theta
-    round1_set = set(round1)
-    round2 = [key for ub, _n, key in ubs if key not in round1_set and ub > theta]
-    if round2:
-        hits2 = decode_keys(round2)
-        merged = sorted(
-            list(hits) + list(hits2), key=lambda r: (-r["score"], r["doc_id"])
-        )[:k]
-        hits = merged
-    stats["blocks_decoded"] = len(round1) + len(round2)
-    return list(hits[:k]), stats
+    """Single-term convenience wrapper over :func:`topk_wand` (kept for
+    bench/gate compatibility): returns (collected top-k rows, stats)."""
+    index.prefetch_terms([term])
+    idf = bm25_idf(index.doc_freq(term), index.n_docs)
+    out, stats = topk_wand(index, [term], [idf], k=k, collect_stats=True)
+    return out.collect(), stats

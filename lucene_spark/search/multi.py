@@ -7,11 +7,19 @@ keep the id-shifting contract but do the global re-rank correctly:
 take top-k per index (cheap, parallel), union the small per-index
 results, re-sort globally — the standard scatter/gather top-k.
 
-Caveat shared with the reference: scores are computed against each
-sub-index's own stats (df, N, avgdl), so cross-index scores are only
-comparable when the sub-corpora are statistically similar. A
-global-stats mode would broadcast merged (df, N, avgdl) into each
-sub-query; not needed for reference parity.
+Two statistics modes:
+
+- ``global_stats=False`` (reference parity): scores use each sub-index's
+  own (df, N, avgdl), so cross-index scores are only comparable when the
+  sub-corpora are statistically similar — the same caveat the reference
+  ships with.
+- ``global_stats=True`` (the @todo fixed — what a sharded 100 TB
+  deployment needs): merged corpus statistics are computed on the
+  driver (a handful of integers per query term/field — df sums, total
+  N, merged avgdl) and injected into every sub-query through a stats
+  proxy, so a document scores identically wherever it is sharded.
+  Dictionary expansions (wildcard/fuzzy/range) still run per shard,
+  like mainstream distributed search engines.
 """
 
 from __future__ import annotations
@@ -22,6 +30,35 @@ from pyspark.sql import DataFrame, functions as F
 
 from lucene_spark.index.builder import SparkIndex
 from lucene_spark.search.executor import SparkSearcher
+
+
+class _GlobalStatsView:
+    """Sub-index proxy that answers corpus-statistics questions (n_docs,
+    doc_freq, avg_field_len) with MERGED values while delegating
+    everything else (postings, docs, analyzer, dictionary scans…) to the
+    wrapped shard. The executor's weight math only consumes these three
+    driver-side stats, so this is the entire surface of the fix."""
+
+    def __init__(self, sub: SparkIndex, owner: "MultiSearcher"):
+        self._sub = sub
+        self._owner = owner
+
+    def __getattr__(self, name):
+        return getattr(self._sub, name)
+
+    @property
+    def n_docs(self) -> int:
+        return self._owner.total_docs
+
+    def doc_freq(self, term) -> int:
+        return self._owner.global_doc_freq(term)
+
+    def prefetch_terms(self, terms) -> None:
+        for ix in self._owner.indexes:
+            ix.prefetch_terms(terms)
+
+    def avg_field_len(self, field: str) -> float:
+        return self._owner.global_avg_field_len(field)
 
 
 class MultiSearcher:
@@ -36,19 +73,38 @@ class MultiSearcher:
             acc += ix.n_docs
         self.total_docs = acc
 
+    # ---- merged corpus statistics (driver-side integers) ----
+    def global_doc_freq(self, term) -> int:
+        return sum(ix.doc_freq(term) for ix in self.indexes)
+
+    def global_avg_field_len(self, field: str) -> float:
+        s = n = 0
+        for ix in self.indexes:
+            fs = ix.stats["fields"].get(field)
+            if fs is None:
+                continue
+            d = ix._delta_field_stats.get(field, {})
+            s += fs["sum_len"] + d.get("sum_len", 0)
+            n += fs["n_docs_with_field"] + d.get("n_docs_with_field", 0)
+        return s / n if n else 0.0
+
     def search(
         self,
         query,
         k: int = 10,
         score_mode: str = "bm25",
         default_field: str | None = None,
+        global_stats: bool = False,
     ) -> DataFrame:
         """Global top-k over all sub-indexes; doc_id is globally shifted
         (sub-index local id + Σ preceding sizes — src/Index.php:866-873).
+        With ``global_stats`` every shard scores against the merged
+        (df, N, avgdl), making rankings shard-layout-invariant.
         """
         parts = []
         for ix, off in zip(self.indexes, self.offsets):
-            hits = SparkSearcher(ix).search(
+            target = _GlobalStatsView(ix, self) if global_stats else ix
+            hits = SparkSearcher(target).search(
                 query, k=k, score_mode=score_mode, default_field=default_field
             )
             parts.append(

@@ -15,7 +15,12 @@ BooleanExpressionRecognizer.php):
   entries are dropped (QueryParserContext.php:121-364)
 - AND/OR/NOT/TO operator lexemes match case-insensitively (QueryToken.php:32-36)
 - ``\\x`` escapes any character inside words
-- default operator is OR (bare entries optional) — QueryParser.php:24-25
+- default operator is OR (bare entries optional) — QueryParser.php:24-25;
+  ``default_operator="AND"`` makes unsigned signs-style entries REQUIRED
+  (≙ ``QueryParser::setDefaultOperator(B_AND)``, applied at
+  QueryParserContext.php:350-356 — explicit +/− signs win; boolean-style
+  contexts are unaffected) and the error-suppression fallback adds its
+  terms as required (QueryParser.php:363-365)
 
 On parse error the reference falls back to a MultiTerm over all analyzer
 tokens of the raw string (QueryParser.php:102-120); we expose that via
@@ -149,10 +154,16 @@ class _Entry:
 
 
 class _Parser:
-    def __init__(self, toks: list[Tok], default_field: str | None):
+    def __init__(
+        self,
+        toks: list[Tok],
+        default_field: str | None,
+        default_operator: str = "OR",
+    ):
         self.toks = toks
         self.pos = 0
         self.default_field = default_field
+        self.default_operator = default_operator
 
     def peek(self) -> Tok | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -232,10 +243,13 @@ class _Parser:
         # the reference NEVER collapses a single sign-style entry — the
         # Boolean wrapper stays (QueryParserContext::_signStyleExpressionQuery),
         # which is why top-level rewrites print as '(sub)' even for one
-        # entry; optimize() collapses later
+        # entry; optimize() collapses later. With default_operator AND,
+        # unsigned entries become required (the ?? $defaultSign fallback,
+        # QueryParserContext.php:350-358) — explicit signs still win.
+        default_sign = True if self.default_operator == "AND" else None
         q = BooleanQuery()
         for e in entries:
-            q.add_subquery(e.query, e.sign)
+            q.add_subquery(e.query, e.sign if e.sign is not None else default_sign)
         return q
 
     def _boolean_style(self, entries: list[_Entry], ops: list[str | None]) -> Query:
@@ -294,7 +308,7 @@ class _Parser:
                     return PrepPhraseQuery(t2.text, field)
                 if t2.kind == "lparen":
                     self.next()
-                    sub = _Parser(self._collect_paren(), field)
+                    sub = _Parser(self._collect_paren(), field, self.default_operator)
                     return sub.parse_context(stop_at_rparen=False)
                 if t2.kind == "word":
                     self.next()
@@ -370,17 +384,28 @@ def parse_query(
     default_field: str | None = None,
     suppress_errors: bool = False,
     analyzer=None,
+    default_operator: str = "OR",
 ) -> Query:
-    """Parse a Lucene query string into a preprocessing query tree."""
+    """Parse a Lucene query string into a preprocessing query tree.
+
+    ``default_operator``: 'OR' (reference default — bare terms optional)
+    or 'AND' (``QueryParser::setDefaultOperator(B_AND)`` — bare terms
+    required)."""
+    if default_operator not in ("OR", "AND"):
+        raise ValueError(f"default_operator must be 'OR' or 'AND', got {default_operator!r}")
     try:
         toks = _lex(s)
-        return _Parser(toks, default_field).parse_context(stop_at_rparen=False)
+        return _Parser(toks, default_field, default_operator).parse_context(
+            stop_at_rparen=False
+        )
     except QueryParserError:
         if not suppress_errors or analyzer is None:
             raise
         # reference fallback: MultiTerm over all tokens of the raw string
-        # (QueryParser.php:102-120) — all-optional prep terms
+        # (QueryParser.php:102-120,363-371) — terms optional under OR,
+        # required under B_AND
+        fallback_sign = True if default_operator == "AND" else None
         q = BooleanQuery()
         for term_text in analyzer.terms(s):
-            q.add_subquery(PrepTermQuery(term_text, default_field), None)
+            q.add_subquery(PrepTermQuery(term_text, default_field), fallback_sign)
         return q

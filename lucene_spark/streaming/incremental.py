@@ -60,15 +60,19 @@ class IncrementalIndexWriter:
     def _batch_base(self, spark: SparkSession, batch_id: int) -> int:
         base = self._base_docs(spark)
         meta_root = _delta(self.index_dir, "meta")
-        if os.path.isdir(meta_root):
-            for entry in sorted(os.listdir(meta_root)):
-                if not entry.startswith("batch="):
-                    continue
-                b = int(entry.split("=", 1)[1])
-                if b >= batch_id:
-                    continue
-                rows = spark.read.parquet(os.path.join(meta_root, entry)).collect()
-                base += rows[0]["n_docs"]
+        if os.path.isdir(meta_root) and any(
+            e.startswith("batch=") for e in os.listdir(meta_root)
+        ):
+            # ONE filtered read of the whole meta dir (tiny rows), not a
+            # per-batch collect loop — keeps the driver cost O(B) total
+            # over a stream's life instead of O(B^2)
+            row = (
+                spark.read.parquet(meta_root)
+                .where(F.col("batch_id") < int(batch_id))
+                .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("s"))
+                .collect()[0]
+            )
+            base += int(row["s"])
         return base
 
     # -- the sink ----------------------------------------------------
@@ -168,12 +172,68 @@ def stream_into_index(
     return w.start()
 
 
+_MERGE_MARKER = "_merge_commit.json"
+_MERGE_TABLES = ("postings", "term_dict", "docs")
+
+
+def _finish_merge_swap(index_dir: str) -> None:
+    """Complete a committed merge: swap every staged ``<name>_new`` dir
+    into place, install stats, drop the delta. Idempotent — each step
+    guards on what already happened, so a crash anywhere inside the
+    swap is repaired by calling this again (the marker written by
+    :func:`merge_delta` is the point of no return)."""
+    import shutil
+
+    marker = os.path.join(index_dir, _MERGE_MARKER)
+    for name in _MERGE_TABLES:
+        new = os.path.join(index_dir, name + "_new")
+        if os.path.isdir(new):
+            cur = os.path.join(index_dir, name)
+            if os.path.isdir(cur):
+                shutil.rmtree(cur)
+            os.rename(new, cur)
+    stats_new = os.path.join(index_dir, "stats_new.json")
+    if os.path.exists(stats_new):
+        os.rename(stats_new, os.path.join(index_dir, "stats.json"))  # atomic
+    droot = os.path.join(index_dir, DELTA_DIR)
+    if os.path.isdir(droot):
+        shutil.rmtree(droot)
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
+def recover_merge(index_dir: str) -> bool:
+    """If a merge committed but crashed mid-swap, finish it. Returns
+    True when recovery ran. Call before opening/merging an index."""
+    if os.path.exists(os.path.join(index_dir, _MERGE_MARKER)):
+        _finish_merge_swap(index_dir)
+        return True
+    return False
+
+
 def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex:
     """Compact all delta chunks into the base index (≙ geometric merge
     tier / optimize without expunge): postings re-range-partitioned with
-    the base, term_dict re-aggregated, docs appended, stats summed."""
+    the base, term_dict re-aggregated, docs rewritten, stats summed.
+
+    Crash-safe and idempotent: every output is STAGED under
+    ``<table>_new`` / ``stats_new.json`` (mode=overwrite — a retried
+    merge rewrites the stage bit-for-bit, never double-appends), then a
+    commit marker is written, then the staged dirs are atomically
+    renamed into place and the delta removed
+    (:func:`_finish_merge_swap`). A crash before the marker leaves the
+    live index untouched (orphan stages are overwritten next run); a
+    crash after it is completed by :func:`recover_merge` on next open.
+
+    Scale note: like the reference's segment merge this rewrites the
+    data it touches, so the postings exchange AND the docs rewrite are
+    O(base + delta). Run it geometrically (when Σ delta ≳ a constant
+    fraction of base), not per micro-batch.
+    """
     spark = index.spark
     index_dir = index.index_dir
+    if recover_merge(index_dir):
+        return load_index(spark, index_dir)
     droot = os.path.join(index_dir, DELTA_DIR)
     if not os.path.isdir(droot):
         return index
@@ -203,9 +263,9 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
     )
     td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict_new"))
     base_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    delta_docs.select(base_docs.columns).write.mode("append").parquet(
-        os.path.join(index_dir, "docs")
-    )
+    base_docs.unionByName(delta_docs.select(base_docs.columns)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "docs_new"))
 
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
@@ -215,13 +275,13 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
             if f in stats["fields"]:
                 stats["fields"][f]["sum_len"] += fs["sum_len"]
                 stats["fields"][f]["n_docs_with_field"] += fs["n_docs_with_field"]
-
-    import shutil
-
-    for name in ("postings", "term_dict"):
-        shutil.rmtree(os.path.join(index_dir, name))
-        os.rename(os.path.join(index_dir, name + "_new"), os.path.join(index_dir, name))
-    shutil.rmtree(droot)
-    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
+    with open(os.path.join(index_dir, "stats_new.json"), "w") as fh:
         json.dump(stats, fh)
+
+    # point of no return: from here the staged tables are authoritative
+    marker = os.path.join(index_dir, _MERGE_MARKER)
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"merged_batch_ids": sorted(int(m["batch_id"]) for m in metas)}, fh)
+    os.rename(marker + ".tmp", marker)
+    _finish_merge_swap(index_dir)
     return load_index(spark, index_dir)

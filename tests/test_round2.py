@@ -1,0 +1,352 @@
+"""Round-2 coverage: terms_from pagination, AND-default operator,
+index-time boosts, pre-sort result_set_limit on the Spark engine,
+global-stats MultiSearcher, dense-id fallback on malformed turn_idx,
+dedup shingle cap, and crash-safe delta merge."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import IndexConfig, build_index
+from lucene_spark.model import PyIndex
+from lucene_spark.search.executor import SparkSearcher
+from lucene_spark.search.parser import parse_query
+from lucene_spark.search.query import FuzzyQuery, Term, WildcardQuery
+
+
+# ------------------------------------------------- terms_from pagination
+
+
+@pytest.fixture(scope="module")
+def wide_vocab_index(spark, tmp_path_factory):
+    """1500-term vocabulary — past the old 1026-row truncation window."""
+    rows = [(i, f"t{i:05d} filler", i % 7) for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp int")
+    d = str(tmp_path_factory.mktemp("widevocab"))
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=400)
+    return build_index(spark, df, d, cfg, order_cols=["doc_id"])
+
+
+def test_terms_from_sees_whole_range(wide_vocab_index):
+    terms = list(wide_vocab_index.terms_from("text", "", page_size=128))
+    expected = sorted({f"t{i:05d}" for i in range(1500)} | {"filler"})
+    assert terms == expected  # paginated scan = full sorted dictionary
+
+
+def test_terms_from_cursor_start(wide_vocab_index):
+    terms = list(wide_vocab_index.terms_from("text", "t01400", page_size=37))
+    assert terms == [f"t{i:05d}" for i in range(1400, 1500)]
+
+
+def test_wildcard_matches_past_old_window(wide_vocab_index):
+    """'t0*9' spans 1500 dictionary terms but matches only 150 — the old
+    single-call limit silently dropped every match past the 1026th
+    dictionary row (reference scans the whole range: Wildcard.php:91-178)."""
+    old = WildcardQuery.min_prefix_length
+    WildcardQuery.min_prefix_length = 2
+    try:
+        q = WildcardQuery(Term("t0*9", "text")).rewrite(wide_vocab_index)
+    finally:
+        WildcardQuery.min_prefix_length = old
+    got = {t.text for t in q.query_terms()}
+    want = {f"t{i:05d}" for i in range(1500) if i % 10 == 9}
+    assert got == want
+    assert "t01499" in got  # dictionary position 1500 > old 1026 cutoff
+
+
+def test_fuzzy_scans_past_old_window(wide_vocab_index):
+    """prefix_length=0 scans the whole 1501-term dictionary (reference:
+    Fuzzy.php:147-298); the old 1026-row window never reached t01499,
+    so the query's own exact term was silently missing."""
+    q = FuzzyQuery(Term("t01499", "text"), 0.6, prefix_length=0).rewrite(
+        wide_vocab_index
+    )
+    got = {t.text for t in q.query_terms()}
+    assert "t01499" in got
+
+
+def test_range_limit_still_raises(wide_vocab_index):
+    from lucene_spark.search.query import RangeQuery
+
+    with pytest.raises(ValueError, match="Terms per query limit"):
+        RangeQuery(Term("a", "text"), Term("z", "text"), True).rewrite(
+            wide_vocab_index
+        )
+
+
+# ------------------------------------------------- AND-default operator
+
+
+def _tiny_model():
+    ix = PyIndex(field_policy={"text": "text"}, default_field="text")
+    ix.add_document({"text": "alpha beta"})
+    ix.add_document({"text": "alpha"})
+    ix.add_document({"text": "beta gamma"})
+    return ix
+
+
+def test_default_operator_and_requires_bare_terms():
+    ix = _tiny_model()
+    or_hits = {h.doc_id for h in ix.find("alpha beta", score_mode="bm25")}
+    and_hits = {
+        h.doc_id
+        for h in ix.find("alpha beta", score_mode="bm25", default_operator="AND")
+    }
+    assert or_hits == {0, 1, 2}
+    assert and_hits == {0}
+
+
+def test_default_operator_and_rewrite_string():
+    q = parse_query("alpha beta", "text", default_operator="AND")
+    assert str(q) == "+(text:alpha) +(text:beta)"
+    # explicit signs win over the default (QueryParserContext.php:357 ??)
+    q2 = parse_query("alpha -beta", "text", default_operator="AND")
+    assert str(q2) == "+(text:alpha) -(text:beta)"
+
+
+def test_default_operator_and_equals_explicit_plus():
+    ix = _tiny_model()
+    a = [(h.doc_id, round(h.score, 9)) for h in ix.find(
+        "alpha beta", score_mode="bm25", default_operator="AND")]
+    b = [(h.doc_id, round(h.score, 9)) for h in ix.find(
+        "+alpha +beta", score_mode="bm25")]
+    assert a == b
+
+
+def test_default_operator_and_boolean_style_unaffected():
+    ix = _tiny_model()
+    a = [h.doc_id for h in ix.find("alpha OR beta", default_operator="AND",
+                                   score_mode="bm25")]
+    b = [h.doc_id for h in ix.find("alpha OR beta", score_mode="bm25")]
+    assert a == b
+
+
+def test_default_operator_and_error_fallback():
+    from lucene_spark.analysis import default_analyzer
+
+    q = parse_query(
+        "alpha AND",  # ends with an operator → parse error → fallback
+        "text",
+        suppress_errors=True,
+        analyzer=default_analyzer(),
+        default_operator="AND",
+    )
+    # fallback terms required under B_AND (QueryParser.php:363-371)
+    assert str(q).startswith("+(")
+
+
+def test_spark_search_default_operator(spark_index, model_index):
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(spark_index)
+        .search("spark merge", k=0, default_field="text",
+                default_operator="AND")
+        .collect()
+    ]
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in model_index.find("text:spark AND text:merge",
+                                  score_mode="bm25")
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+# ---------------------------------------------------- index-time boosts
+
+
+def test_index_time_boosts_classic_golden(spark, tmp_path_factory):
+    rows = [
+        (0, "alpha beta gamma", "news", 1.0),
+        (1, "alpha beta", "blog", 3.0),
+        (2, "alpha", "news", 0.5),
+        (3, "beta gamma delta alpha", "blog", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string, w double")
+    d = str(tmp_path_factory.mktemp("boosted"))
+    cfg = IndexConfig(
+        field_policy={"text": "text", "src": "keyword"},
+        field_boosts={"text": 2.0, "src": 0.25},
+        doc_boost_col="w",
+        seg_size=2,
+    )
+    ix = build_index(spark, df, d, cfg, order_cols=["doc_id"])
+    model = PyIndex(
+        field_policy={"text": "text", "src": "keyword"},
+        field_boosts={"text": 2.0, "src": 0.25},
+    )
+    for _id, text, src, w in rows:
+        model.add_document({"text": text, "src": src}, boost=w)
+    s = SparkSearcher(ix)
+    for q in ["text:alpha", "text:beta text:gamma", "src:news text:alpha"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in s.search(q, k=0, score_mode="classic").collect()
+        ]
+        want = [
+            (h.doc_id, round(h.score, 9))
+            for h in model.find(q, score_mode="classic")
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-6), (q, g, w)
+
+
+# ------------------------------------------- pre-sort result_set_limit
+
+
+@pytest.mark.parametrize("mode", ["bm25", "classic"])
+@pytest.mark.parametrize("limit", [3, 10])
+def test_result_set_limit_parity(spark_index, model_index, mode, limit):
+    """Spark engine reproduces the reference's pre-sort limit quirk
+    (src/Index.php:705-735) — truncate by docId, then normalize+sort."""
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(spark_index)
+        .search("text:spark text:index", k=0, score_mode=mode,
+                result_set_limit=limit)
+        .collect()
+    ]
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in model_index.find("text:spark text:index", limit=limit,
+                                  score_mode=mode)
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+# ------------------------------------------- global-stats MultiSearcher
+
+
+def test_global_stats_multisearcher(spark, transcripts_df, tmp_path_factory):
+    """Two shards with skewed stats rank identically to one merged index
+    when global_stats=True (the reference's @todo, fixed)."""
+    from lucene_spark.search.multi import MultiSearcher
+
+    convs = sorted(r["conv_id"] for r in transcripts_df.select("conv_id").distinct().collect())
+    # skewed split: first 10 conversations vs the rest
+    head = set(convs[:10])
+    df_a = transcripts_df.where(F.col("conv_id").isin(list(head)))
+    df_b = transcripts_df.where(~F.col("conv_id").isin(list(head)))
+    cfg = IndexConfig(seg_size=100)
+    d_a = str(tmp_path_factory.mktemp("shard_a"))
+    d_b = str(tmp_path_factory.mktemp("shard_b"))
+    d_m = str(tmp_path_factory.mktemp("merged"))
+    ix_a = build_index(spark, df_a, d_a, cfg)
+    ix_b = build_index(spark, df_b, d_b, cfg)
+    ix_m = build_index(spark, transcripts_df, d_m, cfg)
+
+    ms = MultiSearcher([ix_a, ix_b])
+    for q in ["text:spark", "text:spark text:index"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ms.search(q, k=15, global_stats=True).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in SparkSearcher(ix_m).search(q, k=15).collect()
+        ]
+        # shards were split in conv order, so shifted ids == merged ids
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-6), (q, g, w)
+
+
+# --------------------------------------- dense-id fallback on bad input
+
+
+def test_dense_ids_fall_back_on_duplicate_turns(spark):
+    from lucene_spark.index.builder import assign_doc_ids_dense
+
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 1, "b2"), ("c1", 3, "c"),
+        ("c2", 0, "d"), ("c2", 1, "e"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = assign_doc_ids_dense(df, "conv_id", "turn_idx")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # min==0/max==cnt-1 alone would accept [0,1,1,3] and emit duplicate
+    # ids; the distinct-count check forces the windowed-rank fallback
+    assert ids == list(range(6))
+
+
+# -------------------------------------------------- dedup shingle cap
+
+
+def test_ngram_jaccard_shingle_cap(spark):
+    from lucene_spark.ops.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"common u{i} v{i}") for i in range(30)]
+    rows += [(100, "common x y z"), (101, "common x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, max_shingle_df=5
+    )
+    # the near-dup pair shares rare shingles → found either way, with
+    # the SAME exact jaccard (verification uses full sets)
+    assert {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in capped.collect()} == {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in exact.collect()
+    } == {(100, 101, 1.0)}
+    # candidate generation is bounded: the universal shingle ('common',
+    # df=32 > cap) no longer produces 32²/2 candidate pairs
+    from lucene_spark.ops.dedup import _shingle_df
+
+    sh = _shingle_df(df, "doc_id", "text", 1)
+    hot_df = sh.groupBy("shingle").count().where(F.col("shingle") == "common").collect()[0]["count"]
+    assert hot_df == 32  # the cap was actually load-bearing
+
+
+# ---------------------------------------------- crash-safe delta merge
+
+
+def test_merge_delta_crash_recovery(spark, tmp_path_factory):
+    import lucene_spark.streaming.incremental as inc
+    from lucene_spark.index.builder import load_index
+
+    d = str(tmp_path_factory.mktemp("mergesafe"))
+    base_rows = [("c0", i, "user", f"base doc {i} alpha", None, None) for i in range(6)]
+    df = spark.createDataFrame(
+        base_rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    )
+    cfg = IndexConfig(
+        field_policy={"text": "text", "role": "keyword"}, seg_size=4
+    )
+    ix = build_index(spark, df, d, cfg)
+    delta_rows = [("c9", i, "user", f"delta doc {i} beta", None, None) for i in range(4)]
+    ddf = spark.createDataFrame(delta_rows, df.schema)
+    inc.IncrementalIndexWriter(d, cfg).process_batch(ddf, 0)
+
+    # simulate a crash right after the commit marker is written
+    real_swap = inc._finish_merge_swap
+    calls = {"n": 0}
+
+    def crashing_swap(index_dir):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before swap")
+
+    inc._finish_merge_swap = crashing_swap
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            inc.merge_delta(ix, cfg)
+    finally:
+        inc._finish_merge_swap = real_swap
+    assert os.path.exists(os.path.join(d, inc._MERGE_MARKER))
+
+    # opening the index completes the committed merge (recovery)
+    ix2 = load_index(spark, d)
+    assert not os.path.exists(os.path.join(d, inc._MERGE_MARKER))
+    assert not os.path.isdir(os.path.join(d, inc.DELTA_DIR))
+    assert ix2.n_docs == 10
+    assert ix2.docs.count() == 10  # no double-appended doc rows
+    hits = SparkSearcher(ix2).search("text:beta", k=0).collect()
+    assert len(hits) == 4
+
+    # re-running merge on the recovered index is a no-op
+    ix3 = inc.merge_delta(ix2, cfg)
+    assert ix3.n_docs == 10 and ix3.docs.count() == 10

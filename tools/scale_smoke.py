@@ -59,10 +59,10 @@ def main():
         q = parse_query("text:table").rewrite(ix).optimize(ix)
 
         t0 = time.time()
-        exact = s.execute(q, k=10, use_pruning=False).collect()
+        exact = s.execute(q, k=10, pruning="off").collect()
         t_exact = time.time() - t0
         t0 = time.time()
-        pruned = s.execute(q, k=10, use_pruning=True).collect()
+        pruned = s.execute(q, k=10, pruning="force").collect()
         t_pruned = time.time() - t0
         assert [(r["doc_id"], round(r["score"], 9)) for r in exact] == [
             (r["doc_id"], round(r["score"], 9)) for r in pruned
@@ -74,7 +74,10 @@ def main():
         from lucene_spark.search.executor import topk_term_pruned
         from lucene_spark.search.query import Term
 
-        _rows, stats = topk_term_pruned(ix, Term("table", "text"), k=10)
+        rows, stats = topk_term_pruned(ix, Term("table", "text"), k=10)
+        assert [(r["doc_id"], round(r["score"], 9)) for r in exact] == [
+            (r["doc_id"], round(r["score"], 9)) for r in rows
+        ], "topk_term_pruned must equal exact"
         print(json.dumps({
             "n_turns": int(ix.n_docs),
             "build_sec": round(build_sec, 1),
