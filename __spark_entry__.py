@@ -65,7 +65,7 @@ from lucene_spark.search.query import FuzzyQuery, Term
 
 # ---------------------------------------------------------------- config
 
-_VERSION = "r1d"  # bump to invalidate cached gate indexes
+_VERSION = "r2a"  # bump to invalidate cached gate indexes
 TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 K1, B = 1.2, 0.75
 TOPK = 20
@@ -326,22 +326,182 @@ def _ft_classic_bool(spark, sf_dir):
 
 
 def _ft_phrase_sloppy(spark, sf_dir):
-    """Sloppy phrase '"fast value"~2' — rows-only driver check: the
-    reference's candidate-queue freq algorithm (Phrase.php:425-491,
-    including its first-position mutation quirk) is not SQL-expressible;
-    model↔Spark equality is asserted in tests/test_spark_engine.py."""
+    """Sloppy phrase '"fast value"~2' — full oracle check: for TWO-slot
+    phrases the reference's candidate queue (Phrase.php:425-491,
+    first-pass mutation + candidate-multiplication quirks included)
+    reduces to a closed form (fuzz-verified against the shared
+    sloppy_phrase_freq over thousands of random position sets):
+      freq = Σ_anchors w_i · ( [d_i1≤slop]/(d_i1+1)
+                               + Σ_r 2^(r−1)/(d_r+1) )
+    where w_i = 2^max(i−2,0) is the i-th anchor's queue multiplicity,
+    d = |pos_b − pos_a − Δ|, and r ranks the in-window LATER b
+    positions per anchor — SQL-expressible with two window functions."""
     return _searched(spark, sf_dir, '"fast value"~2')
 
 
 def _ft_wand(spark, sf_dir):
-    """Block-max-pruned single-term top-k (non-SQL execution strategy;
-    result equals ft_term_topk — rows-only driver check)."""
+    """Distributed block-max single-term top-k. The pruned path is
+    provably exact, so it carries the SAME oracle as ft_term_topk —
+    the hash match is the exactness proof the driver can check."""
     ix = _index_for(spark, sf_dir)
-    rows, _stats = topk_term_pruned(ix, Term("table", "text"), k=TOPK)
-    return ix.spark.createDataFrame(
-        [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows],
-        "doc_id long, score double",
+    # fetch a margin past TOPK, then re-rank on ROUNDED scores like the
+    # oracle does (absorbs last-ulp boundary ties at the k cut)
+    rows, _stats = topk_term_pruned(ix, Term("table", "text"), k=5 * TOPK)
+    ranked = sorted(
+        ((int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows),
+        key=lambda x: (-x[1], x[0]),
+    )[:TOPK]
+    return ix.spark.createDataFrame(ranked, "doc_id long, score double")
+
+
+def _ft_wand_or(spark, sf_dir):
+    """OR-of-terms block-max WAND (true WAND: segment-granular
+    cross-term bounds, metadata-only aggregation) — exactness proven
+    against the same oracle as ft_bool_or."""
+    ix = _index_for(spark, sf_dir)
+    out = SparkSearcher(ix).search(
+        "table spark vector", k=5 * TOPK, score_mode="bm25",
+        default_field="text", pruning="force",
     )
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
+def _ft_and_default(spark, sf_dir):
+    """'table spark' parsed with default_operator=AND — bare terms
+    required (QueryParser::setDefaultOperator(B_AND)); same oracle as
+    the explicit '+table +spark'."""
+    ix = _index_for(spark, sf_dir)
+    out = SparkSearcher(ix).search(
+        "table spark", k=0, score_mode="bm25", default_field="text",
+        default_operator="AND",
+    )
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
+PRESORT_LIMIT = 12
+
+
+def _ft_presort_limit(spark, sf_dir):
+    """Classic-mode search with the reference's pre-sort resultSetLimit
+    quirk (src/Index.php:705-735): matched docs truncated in docId
+    order BEFORE top-score normalization and the score sort."""
+    ix = _index_for(spark, sf_dir)
+    out = SparkSearcher(ix).search(
+        "text:table", k=0, score_mode="classic",
+        result_set_limit=PRESORT_LIMIT,
+    )
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
+def _boosted_index_for(spark, sf_dir) -> SparkIndex:
+    """Gate index with index-time boosts: per-doc boost derived from
+    doc_id (1 + (doc_id % 3)/2 → 1.0/1.5/2.0) and field boost 1.25 on
+    text — folded into the norm byte like DocumentWriter.php:106-109."""
+    _tune(spark)
+    key = os.path.abspath(sf_dir) + "#boost"
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_boost"
+    d = f"/tmp/lucene_spark_gate_{_VERSION}/{tag}"
+    if os.path.exists(os.path.join(d, "stats.json")):
+        ix = load_index(spark, d)
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text",
+            (1.0 + (F.col("doc_id") % 3) / 2.0).alias("w"),
+        )
+        cfg = IndexConfig(
+            field_policy={"text": "text"},
+            analyzer=GATE_ANALYZER,
+            seg_size=200,
+            field_boosts={"text": 1.25},
+            doc_boost_col="w",
+        )
+        ix = build_index(spark, docs, d, cfg, order_cols=["doc_id"])
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _ft_boosted_classic(spark, sf_dir):
+    """Classic single-term scoring over the boosted index — norm byte =
+    encode(lengthNorm · docBoost · fieldBoost)."""
+    ix = _boosted_index_for(spark, sf_dir)
+    out = SparkSearcher(ix).search(
+        "text:table", k=0, score_mode="classic"
+    )
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
+def _wide_index_for(spark, sf_dir) -> SparkIndex:
+    """Gate index whose text carries 3 unique synthetic terms per doc
+    (w%05d of 3·doc_id, +1, +2) — >1500 distinct dictionary terms at
+    sf0.01, past the 1024-term expansion window, to exercise paginated
+    dictionary scans end-to-end."""
+    _tune(spark)
+    key = os.path.abspath(sf_dir) + "#wide"
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_wide"
+    d = f"/tmp/lucene_spark_gate_{_VERSION}/{tag}"
+    if os.path.exists(os.path.join(d, "stats.json")):
+        ix = load_index(spark, d)
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.format_string("w%05d", F.col("doc_id") * 3),
+                F.format_string("w%05d", F.col("doc_id") * 3 + 1),
+                F.format_string("w%05d", F.col("doc_id") * 3 + 2),
+            ).alias("text"),
+        )
+        cfg = IndexConfig(
+            field_policy={"text": "text"}, analyzer=GATE_ANALYZER, seg_size=200
+        )
+        ix = build_index(spark, docs, d, cfg, order_cols=["doc_id"])
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _ft_wildcard_widevocab(spark, sf_dir):
+    """Wildcard 'w0*9' over the wide-vocab index: the dictionary range
+    under prefix 'w0' holds ~1500 terms (> the old 1026-row scan
+    window) while matches stay under the 1024 cap — a correct engine
+    must paginate the pushed-down dictionary scan to find matches past
+    the window (reference scans the whole range, Wildcard.php:91-178)."""
+    from lucene_spark.search.query import WildcardQuery
+
+    ix = _wide_index_for(spark, sf_dir)
+    old = WildcardQuery.min_prefix_length
+    WildcardQuery.min_prefix_length = 2
+    try:
+        out = SparkSearcher(ix).search(
+            "w0*9", k=0, score_mode="bm25", default_field="text"
+        )
+    finally:
+        WildcardQuery.min_prefix_length = old
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
 
 
 _FT_TERM_SQL = _sum_topk_sql("term = 'table'")
@@ -405,6 +565,81 @@ result AS (
 SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """
 
+# sloppy two-slot phrase: closed form of the reference's candidate
+# queue (see _ft_phrase_sloppy docstring) — anchor multiplicity
+# 2^max(rn_a−2,0), later-in-window-b multiplicity 2^(rank−1), each pair
+# contributing mult/(d+1) with d = |pos_b − pos_a − 1| ≤ slop(=2).
+_FT_SLOPPY_SQL = f"""
+WITH {_BASE_CTES},
+ap AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn_a
+    FROM toks WHERE term = 'fast'
+),
+bp AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn_b
+    FROM toks WHERE term = 'value'
+),
+pr AS (
+    SELECT a.doc_id, a.pos AS apos, a.rn_a, b.pos AS bpos, b.rn_b,
+           abs(b.pos - a.pos - 1) AS d
+    FROM ap a JOIN bp b USING (doc_id)
+),
+m1 AS (SELECT doc_id, apos, rn_a, d, 1.0 AS mult FROM pr WHERE rn_b = 1 AND d <= 2),
+m2 AS (
+    SELECT doc_id, apos, rn_a, d,
+           pow(2.0, row_number() OVER (PARTITION BY doc_id, apos ORDER BY bpos) - 1) AS mult
+    FROM pr WHERE rn_b >= 2 AND d <= 2
+),
+ph AS (
+    SELECT doc_id,
+           sum(pow(2.0, greatest(rn_a - 2, 0)) * mult / (d + 1)) AS freq
+    FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+    GROUP BY doc_id
+),
+dfm AS (
+    SELECT least(
+        (SELECT count(DISTINCT doc_id) FROM toks WHERE term = 'fast'),
+        (SELECT count(DISTINCT doc_id) FROM toks WHERE term = 'value')) AS df
+),
+result AS (
+    SELECT p.doc_id,
+           round({_bm25_s('p.freq', 'm.df')}, 6) AS score
+    FROM ph p JOIN dl l USING (doc_id), dfm m, corp c
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+# wide-vocab wildcard: same engine semantics as ft_wildcard but over the
+# derived corpus with 3 unique w-terms per doc; pattern w0*9 ≙ LIKE 'w0%9'
+_FT_WIDE_SQL = f"""
+WITH wd AS (
+    SELECT doc_id,
+           concat(text, ' ', printf('w%05d', doc_id * 3),
+                        ' ', printf('w%05d', doc_id * 3 + 1),
+                        ' ', printf('w%05d', doc_id * 3 + 2)) AS text
+    FROM documents
+),
+toks AS (
+    SELECT d.doc_id, d.l[g.i] AS term
+    FROM (SELECT doc_id, {TOKEN_SQL} AS l FROM wd) d,
+         LATERAL (SELECT unnest(generate_series(1, len(d.l))) AS i) g
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corp AS (
+    SELECT (SELECT count(*) FROM wd) AS n,
+           (SELECT SUM(dl)::DOUBLE / COUNT(*) FROM dl) AS avgdl
+),
+{_term_scores_sql("term LIKE 'w0%9'")},
+result AS (
+    SELECT doc_id, round(sum(s), 6) AS score FROM scores GROUP BY doc_id
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
 # classic TF-IDF single term: sqrt(tf)·idf·decodeNorm(encodeNorm(1/√dl))
 # with the 256-entry byte codebook, then top-score normalization when
 # max>1 (reference quirks §4.3). The codebook is embedded as literals.
@@ -413,6 +648,85 @@ _FT_CLASSIC_SQL = f"""
 WITH {_BASE_CTES},
 norm_tab(b, v) AS (VALUES {_NORM_TAB_VALUES}),
 x AS (SELECT doc_id, 1.0 / sqrt(dl) AS x FROM dl),
+hi AS (
+    SELECT x.doc_id, x.x, max(t.b) AS bhi
+    FROM x JOIN norm_tab t ON t.v <= x.x GROUP BY x.doc_id, x.x
+),
+enc AS (
+    SELECT h.doc_id,
+           CASE WHEN h.bhi < 255 AND (h.x - tl.v) > (tu.v - h.x)
+                THEN h.bhi + 1 ELSE h.bhi END AS nb
+    FROM hi h
+    JOIN norm_tab tl ON tl.b = h.bhi
+    LEFT JOIN norm_tab tu ON tu.b = h.bhi + 1
+),
+nrm AS (SELECT e.doc_id, t.v AS nv FROM enc e JOIN norm_tab t ON t.b = e.nb),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'table' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM tf),
+raw AS (
+    SELECT t.doc_id,
+           sqrt(t.tf) * (ln(c.n / (d.df + 1.0)) + 1.0) * n.nv AS s
+    FROM tf t JOIN nrm n USING (doc_id), dfs d, corp c
+),
+result AS (
+    SELECT doc_id,
+           round(CASE WHEN (SELECT max(s) FROM raw) > 1.0
+                      THEN s / (SELECT max(s) FROM raw) ELSE s END, 6) AS score
+    FROM raw WHERE s != 0
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+# pre-sort resultSetLimit quirk: same classic chain, but the matched
+# set is truncated to the first PRESORT_LIMIT hits in docId order
+# BEFORE top-score normalization and the score sort (Index.php:705-735)
+_FT_PRESORT_SQL = f"""
+WITH {_BASE_CTES},
+norm_tab(b, v) AS (VALUES {_NORM_TAB_VALUES}),
+x AS (SELECT doc_id, 1.0 / sqrt(dl) AS x FROM dl),
+hi AS (
+    SELECT x.doc_id, x.x, max(t.b) AS bhi
+    FROM x JOIN norm_tab t ON t.v <= x.x GROUP BY x.doc_id, x.x
+),
+enc AS (
+    SELECT h.doc_id,
+           CASE WHEN h.bhi < 255 AND (h.x - tl.v) > (tu.v - h.x)
+                THEN h.bhi + 1 ELSE h.bhi END AS nb
+    FROM hi h
+    JOIN norm_tab tl ON tl.b = h.bhi
+    LEFT JOIN norm_tab tu ON tu.b = h.bhi + 1
+),
+nrm AS (SELECT e.doc_id, t.v AS nv FROM enc e JOIN norm_tab t ON t.b = e.nb),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'table' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM tf),
+raw AS (
+    SELECT t.doc_id,
+           sqrt(t.tf) * (ln(c.n / (d.df + 1.0)) + 1.0) * n.nv AS s
+    FROM tf t JOIN nrm n USING (doc_id), dfs d, corp c
+),
+lim AS (SELECT * FROM raw WHERE s != 0 ORDER BY doc_id LIMIT 12),
+result AS (
+    SELECT doc_id,
+           round(CASE WHEN (SELECT max(s) FROM lim) > 1.0
+                      THEN s / (SELECT max(s) FROM lim) ELSE s END, 6) AS score
+    FROM lim
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+# index-time boosts: norm byte quantizes lengthNorm·docBoost·fieldBoost
+# with docBoost = 1 + (doc_id % 3)/2 and fieldBoost(text) = 1.25 —
+# mirroring _boosted_index_for exactly, expression shape included
+_FT_BOOSTED_SQL = f"""
+WITH {_BASE_CTES},
+norm_tab(b, v) AS (VALUES {_NORM_TAB_VALUES}),
+x AS (
+    SELECT doc_id,
+           ((1.0 / sqrt(dl)) * (1.0 + (doc_id % 3) / 2.0)) * 1.25 AS x
+    FROM dl
+),
 hi AS (
     SELECT x.doc_id, x.x, max(t.b) AS bhi
     FROM x JOIN norm_tab t ON t.v <= x.x GROUP BY x.doc_id, x.x
@@ -1070,6 +1384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_classic_bool": _ft_classic_bool,
         "ft_transcripts_bool": _ft_transcripts_bool,
         "ft_wand_topk": _ft_wand,
+        "ft_wand_or": _ft_wand_or,
+        "ft_and_default": _ft_and_default,
+        "ft_presort_limit": _ft_presort_limit,
+        "ft_boosted_classic": _ft_boosted_classic,
+        "ft_wildcard_widevocab": _ft_wildcard_widevocab,
         "ix_postings": _ix_postings,
         "ix_term_dict": _ix_term_dict,
         "ix_doc_lengths": _ix_doc_lengths,
@@ -1104,8 +1423,16 @@ def oracle_sql() -> dict[str, str]:
         "ft_classic_term": _FT_CLASSIC_SQL,
         "ft_classic_bool": _FT_CLASSIC_BOOL_SQL,
         "ft_transcripts_bool": _FT_TRANSCRIPTS_SQL,
-        # ft_wand_topk: block-max WAND is an execution strategy, not a
-        # SQL-expressible op — rows-only check (equals ft_term_topk).
+        # block-max WAND is an execution strategy whose output is
+        # provably the exact top-k — so it shares the exact paths'
+        # oracles and the driver hash-checks the exactness claim
+        "ft_wand_topk": _FT_TERM_SQL,
+        "ft_wand_or": _FT_OR_SQL,
+        "ft_and_default": _FT_AND_SQL,
+        "ft_phrase_sloppy": _FT_SLOPPY_SQL,
+        "ft_presort_limit": _FT_PRESORT_SQL,
+        "ft_boosted_classic": _FT_BOOSTED_SQL,
+        "ft_wildcard_widevocab": _FT_WIDE_SQL,
         "ix_postings": _IX_POSTINGS_SQL,
         "ix_term_dict": _IX_TERM_DICT_SQL,
         "ix_doc_lengths": _IX_DOC_LENGTHS_SQL,

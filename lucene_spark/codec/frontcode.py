@@ -101,13 +101,21 @@ def pack_term_runs(sorted_terms: list[str], block_size: int = TERMS_PER_BLOCK):
     return out
 
 
-def write_dict_blocks(index, path: str | None = None):
-    """Pack an index's term dictionary into front-coded blocks:
-    one Arrow pass per (field) partition over the already-sorted
-    term_dict — rows (field, first_term, n_terms, terms_bin).
-    Returns the written DataFrame (and writes parquet when ``path``)."""
+def write_dict_blocks(index_or_td, path: str | None = None):
+    """Pack a term dictionary into front-coded blocks — rows
+    (field, first_term, n_terms, terms_bin). Accepts a SparkIndex or a
+    term_dict DataFrame.
+
+    Scale shape: one mapInPandas pass over the term_dict scan. The
+    term_dict parquet is written range-partitioned + sorted on
+    (field, term), so every Arrow batch is internally sorted and batch
+    ranges are disjoint — blocks are packed per (batch, field) run with
+    no shuffle and no per-field single-task collect (a 10^9-term
+    dictionary packs in parallel; edge batches just yield short blocks,
+    which the decoder handles). The block-key table is the
+    ``.tii``-equivalent upper level: small, range-prunable on
+    (field, first_term), pointing into opaque packed blocks."""
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         BinaryType,
         IntegerType,
@@ -116,6 +124,8 @@ def write_dict_blocks(index, path: str | None = None):
         StructType,
     )
 
+    td = index_or_td if hasattr(index_or_td, "mapInPandas") else index_or_td.term_dict
+    spark = td.sparkSession
     schema = StructType(
         [
             StructField("field", StringType()),
@@ -124,22 +134,27 @@ def write_dict_blocks(index, path: str | None = None):
             StructField("terms_bin", BinaryType()),
         ]
     )
+    cols = [f.name for f in schema.fields]
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = sorted(pdf["term"].tolist())
-        rows = [
-            (key[0], ft, n, blob) for ft, n, blob in pack_term_runs(terms)
-        ]
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    def pack_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for fld, grp in pdf.groupby("field", sort=False):
+                terms = grp["term"].tolist()
+                if terms != sorted(terms):  # defensive: unsorted source
+                    terms = sorted(terms)
+                rows.extend(
+                    (fld, ft, n, blob) for ft, n, blob in pack_term_runs(terms)
+                )
+            yield pd.DataFrame(rows, columns=cols)
 
-    df = (
-        index.term_dict.select("field", "term")
-        .groupBy("field")
-        .applyInPandas(pack, schema)
-    )
+    df = td.select("field", "term").mapInPandas(pack_batches, schema)
     if path:
-        df.repartitionByRange(8, "field", "first_term").sortWithinPartitions(
+        n = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+        df.repartitionByRange(n, "field", "first_term").sortWithinPartitions(
             "field", "first_term"
         ).write.mode("overwrite").parquet(path)
-        df = index.spark.read.parquet(path)
+        df = spark.read.parquet(path)
     return df

@@ -694,6 +694,15 @@ def build_index(
         .sortWithinPartitions("field", "term")
     )
     td.write.mode("overwrite").parquet(dict_path)
+    # two-level dictionary (≙ the reference's .tii/.tis pair,
+    # AbstractSegmentWriter.php:404-496): 128-term front-coded blocks
+    # keyed by first_term — dictionary range scans read ~128x fewer
+    # rows than the flat term_dict (see SparkIndex.terms_from)
+    from lucene_spark.codec.frontcode import write_dict_blocks
+
+    write_dict_blocks(
+        spark.read.parquet(dict_path), os.path.join(index_dir, "term_dict_fc")
+    )
     _mark("term_dict")
 
     # ---- stats ----
@@ -753,6 +762,15 @@ class SparkIndex:
         self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        fc_path = os.path.join(index_dir, "term_dict_fc")
+        # front-coded dictionary blocks (B6/.tii): used by terms_from
+        # when present; disabled while unmerged delta chunks are
+        # attached (their terms aren't packed until merge_delta)
+        self._fc_blocks = (
+            spark.read.parquet(fc_path)
+            if os.path.exists(os.path.join(fc_path, "_SUCCESS"))
+            else None
+        )
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self._delta_docs = 0
@@ -779,6 +797,7 @@ class SparkIndex:
         meta_dir = os.path.join(droot, "meta")
         if not os.path.isdir(meta_dir):
             return
+        self._fc_blocks = None  # delta terms aren't front-coded yet
         spark = self.spark
         d_post = spark.read.parquet(os.path.join(droot, "postings")).select(
             self.postings.columns
@@ -861,16 +880,25 @@ class SparkIndex:
 
     def terms_from(self, field: str, start: str = "", page_size: int = 8192):
         """Sorted term iterator for dictionary expansion (wildcard/fuzzy/
-        range). Paginates the pushed-down range scan with a last-term
+        range). Paginates a pushed-down range scan with a last-key
         cursor so callers see the WHOLE term range — the reference scans
         the full dictionary and caps only the MATCH count
         (Wildcard.php:137, Fuzzy.php:210, Range.php:177); a fixed
         single-call limit silently dropped matches past the window on
-        vocabularies over ~1k terms. Each page is one TakeOrdered over
-        the filtered scan (row-group pruning on the sorted term column);
-        the driver holds one page at a time, and lazy generation means
-        callers that break early (prefix exhausted, >1024 matches
-        raised) never pay for later pages."""
+        vocabularies over ~1k terms.
+
+        When the index carries front-coded dictionary blocks
+        (term_dict_fc — the ``.tii``/``.tis`` two-level layout,
+        DictionaryLoader.php:34-243), pages are fetched as packed
+        128-term blocks keyed by first_term: ~128x fewer scan rows per
+        page, decoded driver-side. Falls back to the flat term_dict scan
+        (parquet row-group pruning on the sorted term column) when
+        blocks are absent or a streaming delta is attached. Both paths
+        are lazy — callers that break early (prefix exhausted, >1024
+        matches raised) never pay for later pages."""
+        if self._fc_blocks is not None:
+            yield from self._terms_from_fc(field, start, page_size)
+            return
         cursor = start
         inclusive = True
         while True:
@@ -889,6 +917,49 @@ class SparkIndex:
             if len(rows) < page_size:
                 return
             cursor = rows[-1]["term"]
+            inclusive = False
+
+    def _terms_from_fc(self, field: str, start: str, page_size: int):
+        """Dictionary range scan over front-coded blocks: first locate
+        the block COVERING ``start`` (greatest first_term <= start — one
+        TakeOrdered of a single row), then page forward by first_term
+        cursor, decoding each packed block on the driver."""
+        from lucene_spark.codec.frontcode import TERMS_PER_BLOCK, decode_term_block
+
+        fc = self._fc_blocks
+        fcond = F.col("field") == field
+        blocks_per_page = max(1, page_size // TERMS_PER_BLOCK)
+        pre = (
+            fc.where(fcond & (F.col("first_term") <= start))
+            .orderBy(F.col("first_term").desc())
+            .select("first_term")
+            .limit(1)
+            .collect()
+        )
+        cursor = pre[0]["first_term"] if pre else None
+        inclusive = True
+        while True:
+            cond = fcond
+            if cursor is not None:
+                cond = cond & (
+                    (F.col("first_term") >= cursor)
+                    if inclusive
+                    else (F.col("first_term") > cursor)
+                )
+            rows = (
+                fc.where(cond)
+                .orderBy("first_term")
+                .select("first_term", "terms_bin")
+                .limit(blocks_per_page)
+                .collect()
+            )
+            for r in rows:
+                for t in decode_term_block(bytes(r["terms_bin"])):
+                    if t >= start:
+                        yield t
+            if len(rows) < blocks_per_page:
+                return
+            cursor = rows[-1]["first_term"]
             inclusive = False
 
     def avg_field_len(self, field: str) -> float:

@@ -45,7 +45,6 @@ from pyspark.sql.types import (
 from lucene_spark.codec.norms import NORM_TABLE
 from lucene_spark.codec.varbyte import vb_decode
 from lucene_spark.index.builder import SparkIndex
-from lucene_spark.model.pymodel import _ClassicScorer
 from lucene_spark.search.query import (
     BooleanQuery,
     EmptyResult,
@@ -93,8 +92,15 @@ def decode_postings(
     (field, term) equalities — pushed down to the parquet scan.
     ``docs_only`` skips the tf/dl streams entirely (constant 1s) — for
     prohibited-clause membership checks that only need doc ids.
+    A term appearing TWICE in ``terms`` (e.g. the user query
+    '+table +table') gets its postings emitted once per qid, so
+    required-count checks and per-qid weights stay correct.
     """
-    qid_map = {(t.field, t.text): i for i, t in enumerate(terms)}
+    qid_lists: dict[tuple[str, str], list[int]] = {}
+    for i, t in enumerate(terms):
+        qid_lists.setdefault((t.field, t.text), []).append(i)
+    qid_map = {k: v[0] for k, v in qid_lists.items()}
+    dup_map = {v[0]: v[1:] for v in qid_lists.values() if len(v) > 1}
     cond = reduce(
         lambda a, b: a | b,
         [
@@ -167,6 +173,14 @@ def decode_postings(
                 pos = pcs - np.cumsum(offs)
                 splits = np.cumsum(tfs)[:-1]
                 res["positions"] = np.split(pos.astype(np.int32), splits)
+            if dup_map:
+                # duplicate query terms: re-emit their rows per extra qid
+                copies = [res]
+                for first_qid, extras in dup_map.items():
+                    sub = res[res["qid"] == first_qid]
+                    for q2 in extras:
+                        copies.append(sub.assign(qid=np.int32(q2)))
+                res = pd.concat(copies, ignore_index=True)
             yield res
 
     return blocks.mapInPandas(decode, schema)
@@ -346,6 +360,10 @@ class SparkSearcher:
         terms = _collect_terms(q)
         self.index.prefetch_terms(terms)
         if score_mode == "classic":
+            # lazy import: model ↔ executor would otherwise be a cycle
+            # (model.pymodel imports search.query via the package init)
+            from lucene_spark.model.pymodel import _ClassicScorer
+
             scorer = _ClassicScorer(self.index, q)  # weight math only
             df = self._node_df(q, scorer.query_norm, "classic")
         else:

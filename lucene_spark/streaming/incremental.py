@@ -173,7 +173,7 @@ def stream_into_index(
 
 
 _MERGE_MARKER = "_merge_commit.json"
-_MERGE_TABLES = ("postings", "term_dict", "docs")
+_MERGE_TABLES = ("postings", "term_dict", "term_dict_fc", "docs")
 
 
 def _finish_merge_swap(index_dir: str) -> None:
@@ -262,6 +262,14 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
         )
     )
     td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict_new"))
+    from lucene_spark.codec.frontcode import write_dict_blocks
+
+    write_dict_blocks(
+        spark.read.parquet(os.path.join(index_dir, "term_dict_new"))
+        .repartitionByRange(n_merge, "field", "term")
+        .sortWithinPartitions("field", "term"),
+        os.path.join(index_dir, "term_dict_fc_new"),
+    )
     base_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     base_docs.unionByName(delta_docs.select(base_docs.columns)).write.mode(
         "overwrite"

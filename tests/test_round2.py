@@ -21,10 +21,16 @@ from lucene_spark.search.query import FuzzyQuery, Term, WildcardQuery
 @pytest.fixture(scope="module")
 def wide_vocab_index(spark, tmp_path_factory):
     """1500-term vocabulary — past the old 1026-row truncation window."""
+    from lucene_spark.analysis import Analyzer
+
     rows = [(i, f"t{i:05d} filler", i % 7) for i in range(1500)]
     df = spark.createDataFrame(rows, "doc_id long, text string, grp int")
     d = str(tmp_path_factory.mktemp("widevocab"))
-    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=400)
+    cfg = IndexConfig(
+        field_policy={"text": "text"},
+        analyzer=Analyzer("[a-zA-Z0-9]+", lowercase=True, name="alnum"),
+        seg_size=400,
+    )
     return build_index(spark, df, d, cfg, order_cols=["doc_id"])
 
 
@@ -213,6 +219,23 @@ def test_result_set_limit_parity(spark_index, model_index, mode, limit):
         (h.doc_id, round(h.score, 9))
         for h in model_index.find("text:spark text:index", limit=limit,
                                   score_mode=mode)
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bm25", "classic"])
+def test_duplicate_query_term_parity(spark_index, model_index, mode):
+    """'+spark +spark' — duplicate required terms must intersect (not
+    empty out) and score the term twice, like the reference MultiTerm."""
+    q = "+text:spark +text:spark"
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(spark_index).search(q, k=0, score_mode=mode).collect()
+    ]
+    want = [
+        (h.doc_id, round(h.score, 9)) for h in model_index.find(q, score_mode=mode)
     ]
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
