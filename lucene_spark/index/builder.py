@@ -60,6 +60,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -111,6 +112,15 @@ POSTINGS_SCHEMA = StructType(
         StructField("n", IntegerType()),
         StructField("block_max_tf", IntegerType()),
         StructField("block_min_dl", IntegerType()),
+        # Pareto-optimal (tf, dl) impact pairs of the block's docs —
+        # no doc has higher tf AND lower dl than a stored pair. The
+        # true block score bound is max over pairs of partial(tf, dl),
+        # far tighter than partial(max_tf, min_dl), which combines one
+        # doc's tf with ANOTHER doc's dl (Lucene's impacts idea).
+        # Evaluated lazily at query time because partial() depends on
+        # avgdl. Typically 1-5 pairs (tf values cluster at 1-3).
+        StructField("imp_tfs", ArrayType(IntegerType())),
+        StructField("imp_dls", ArrayType(IntegerType())),
         StructField("cf", LongType()),
         StructField("docs_bin", BinaryType()),
         StructField("tfs_bin", BinaryType()),
@@ -465,6 +475,19 @@ def _invert_segment(cfg: IndexConfig):
                 d = g_docs[s:e]
                 t = g_tfs[s:e]
                 dl = g_dls[s:e]
+                # Pareto impact frontier: sort (tf desc, dl asc), keep
+                # pairs with strictly decreasing dl — every kept pair
+                # has the min dl among docs with tf >= its tf
+                po = np.lexsort((dl, -t))
+                pt, pd_ = t[po], dl[po]
+                # keep iff dl strictly below every dl at >= tf (equal-tf
+                # runs keep their min-dl head; equal-dl lower-tf pairs
+                # are dominated by the strict <)
+                keep_mask = np.empty(len(pt), dtype=bool)
+                keep_mask[0] = True
+                keep_mask[1:] = pd_[1:] < np.minimum.accumulate(pd_)[:-1]
+                imp_tf = pt[keep_mask]
+                imp_dl = pd_[keep_mask]
                 base = int(d[0]) - 1
                 docs_bin = vb_encode(np.diff(d, prepend=np.int64(base)).astype(np.uint64))
                 tfs_bin = vb_encode(t.astype(np.uint64))
@@ -491,6 +514,8 @@ def _invert_segment(cfg: IndexConfig):
                         int(e - s),
                         int(t.max()),
                         int(dl.min()),
+                        [int(x) for x in imp_tf],
+                        [int(x) for x in imp_dl],
                         int(t.sum()),
                         docs_bin,
                         tfs_bin,

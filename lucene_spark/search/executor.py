@@ -799,6 +799,10 @@ def _collect_terms(q: Query) -> list[Term]:
 
 AUTO_PRUNING_MIN_DF = 65536  # 'auto' pruning: below this, block skipping
 # can't amortize the extra metadata jobs
+WAND_BUCKET = 2048  # docs per cross-term bound bucket (~16 blocks):
+# fine enough that a hot term's high-impact region doesn't smear its
+# bound across the whole segment, coarse enough that the bucket tables
+# stay ~n_blocks/16 rows of metadata
 
 
 def _wand_terms(q: Query) -> list[tuple[Term, float]] | None:
@@ -873,18 +877,24 @@ def topk_wand(
         avgdl_expr = F.when(
             this, F.lit(float(index.avg_field_len(t.field)))
         ).otherwise(avgdl_expr)
-    ub = w_expr * (
-        (F.col("block_max_tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("block_max_tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("block_min_dl") / avgdl_expr)
+    # block upper bound from the stored Pareto impact pairs: the max of
+    # partial(tf_j, dl_j) over the block's non-dominated (tf, dl) docs —
+    # exact per-block max impact, far tighter than partial(max_tf,
+    # min_dl) which mixes tf and dl of DIFFERENT docs. partial() needs
+    # avgdl, so the bound is evaluated lazily here (codegen'd
+    # higher-order expression over the tiny arrays, no UDF).
+    ub = w_expr * F.array_max(
+        F.zip_with(
+            F.col("imp_tfs").cast("array<double>"),
+            F.col("imp_dls").cast("array<double>"),
+            lambda tf, dl: (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl_expr)),
         )
     )
     meta_cols = ["field", "term", "seg_id", "block_id"]
     meta = (
         index.postings.where(cond)
-        .select(*meta_cols, "n", "block_max_tf", "block_min_dl")
+        .select(*meta_cols, "doc_base", "max_docid", "n", "imp_tfs", "imp_dls")
         .withColumn("_ub", ub)
     )
 
@@ -936,17 +946,40 @@ def topk_wand(
     if len(seed_rows) >= k:
         theta = float(seed_rows[k - 1]["score"])
 
-    # round 2: metadata-only survivor filter, joined back to the scan
-    segmax = meta.groupBy("seg_id", "field", "term").agg(
-        F.max("_ub").alias("_segmax")
-    )
-    segsum = segmax.groupBy("seg_id").agg(F.sum("_segmax").alias("_segsum"))
-    survivors = (
-        index.postings.where(cond)
-        .join(segmax, ["seg_id", "field", "term"])
-        .join(segsum, "seg_id")
-        .where(ub + (F.col("_segsum") - F.col("_segmax")) >= F.lit(theta))
-    )
+    # round 2: metadata-only survivor filter. Cross-term bounds live on
+    # QUANTIZED doc-range buckets (WAND_BUCKET docs): for every bucket a
+    # block overlaps, ub_b + Σ_{t'≠t} bucketmax_{t'} ≥ θ keeps the
+    # block. Every doc's bucket is inside its block's bucket range, and
+    # bucketmax ≥ the doc's actual other-term block ubs, so no doc of
+    # the true top-k (ties included — the filter is ≥) can lose a
+    # contribution: provably exact. For a single term the cross-term sum
+    # is empty and this collapses to the classic per-block ub ≥ θ.
+    if len(terms) == 1:
+        survivors = index.postings.where(cond).where(ub >= F.lit(theta))
+    else:
+        bmeta = meta.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
+                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
+                )
+            ),
+        )
+        bmax = bmeta.groupBy("_bkt", "field", "term").agg(
+            F.max("_ub").alias("_bmax")
+        )
+        bsum = bmax.groupBy("_bkt").agg(F.sum("_bmax").alias("_bsum"))
+        keep_keys = (
+            bmeta.join(bmax, ["_bkt", "field", "term"])
+            .join(bsum, "_bkt")
+            .where(
+                F.col("_ub") + (F.col("_bsum") - F.col("_bmax")) >= F.lit(theta)
+            )
+            .select(*meta_cols)
+            .distinct()
+        )
+        survivors = index.postings.where(cond).join(keep_keys, meta_cols)
     out = (
         score_blocks(survivors)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
