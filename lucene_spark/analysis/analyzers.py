@@ -105,6 +105,25 @@ class Analyzer:
         return [t.text for t in self.tokens(text)]
 
     # ---- vectorized path (executor-side, Arrow batches) ----
+    def count_series(self, texts: pd.Series) -> np.ndarray:
+        """Surviving-token COUNTS (int64) — what norms/lengths need.
+
+        Fast path: when no filter can change the match count (no stop
+        words, no min-length), the count is ``str.count(pattern)`` —
+        one C-level pass, no list materialization. This is what keeps
+        the docs phase of the build from tokenizing the whole corpus
+        twice (the inversion pass still needs the tokens themselves).
+        Falls back to full tokenization otherwise."""
+        if not self.stop_words and not self.min_length:
+            s = texts.fillna("")
+            if self.translit:
+                mask = ~s.map(str.isascii)
+                if mask.any():
+                    s = s.copy()
+                    s[mask] = s[mask].map(ascii_translit)
+            return s.str.count(self.token_pattern).to_numpy(np.int64)
+        return self.tokenize_series(texts).map(len).to_numpy(np.int64)
+
     def tokenize_series(self, texts: pd.Series) -> pd.Series:
         """Series[str] → Series[list[str]] of surviving terms, in order."""
         s = texts.fillna("")

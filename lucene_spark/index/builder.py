@@ -148,7 +148,7 @@ def _emit_len_norm_cols(
         else np.float64(1.0)
     )
     for f in text_fields:
-        lens = analyzer.tokenize_series(pdf[f]).map(len).to_numpy(np.int64)
+        lens = analyzer.count_series(pdf[f])
         norms = encode_norm_array(
             length_norm(lens) * doc_boost * field_boosts.get(f, 1.0)
         )

@@ -238,6 +238,56 @@ PROHIBITED_BROADCAST_MAX_DF = 2_000_000  # ≈16 MB of doc ids — broadcast
 # the prohibited-set anti-join below this (Σ df bound, driver-known);
 # above it, fall back to the shuffled anti-join (AQE picks the strategy)
 
+RANGE_PRUNE_QUANTUM = 64  # docs per conjunction-pruning bucket
+# engage when the rarest required term's docs can cover at most ~1/4 of
+# the doc space even if perfectly spread (df · Q · 4 ≤ N); clustered
+# terms (e.g. a conv_id keyword, whose docs are contiguous) cover far
+# fewer buckets and prune correspondingly more
+
+
+def _conjunction_restricted_postings(ix, all_terms, rare):
+    """Posting blocks of ``all_terms`` restricted to doc ranges where
+    the rarest REQUIRED term ``rare`` has documents — the distributed
+    analogue of driving a posting-list intersection by its shortest
+    list (skip-pointer intersection). Exact: a conjunction hit must
+    contain ``rare``, so blocks of other terms whose [doc_base,
+    max_docid] span misses every rare-doc bucket cannot contribute to
+    any hit. The rare term's doc ids decode first (docs_bin only — df
+    postings, tiny by the engagement gate), quantize to buckets, and a
+    metadata-only semi-join keeps overlapping blocks. Everything stays
+    distributed; nothing is collected."""
+    import types
+
+    q = RANGE_PRUNE_QUANTUM
+    rare_docs = decode_postings(ix, [rare], docs_only=True)
+    rb = rare_docs.select(
+        (F.col("doc_id") / q).cast("long").alias("_bkt")
+    ).distinct()
+    cond = reduce(
+        lambda a, c: a | c,
+        [(F.col("field") == t.field) & (F.col("term") == t.text) for t in all_terms],
+    )
+    meta_cols = ["field", "term", "seg_id", "block_id"]
+    keys = (
+        ix.postings.where(cond)
+        .select(*meta_cols, "doc_base", "max_docid")
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("doc_base") / q).cast("long"),
+                    (F.col("max_docid") / q).cast("long"),
+                )
+            ),
+        )
+        .join(rb, "_bkt", "leftsemi")
+        .select(*meta_cols)
+        .distinct()
+    )
+    return types.SimpleNamespace(
+        postings=ix.postings.where(cond).join(keys, meta_cols)
+    )
+
 
 class SparkSearcher:
     """Executes primitive query trees against a SparkIndex."""
@@ -405,16 +455,18 @@ class SparkSearcher:
     # ---- leaf scoring -------------------------------------------------
     def _leaf_df(
         self, terms: list[Term], boosts: list[float], values: list[float],
-        mode: str,
+        mode: str, src=None,
     ) -> DataFrame:
         """Decoded postings for leaf terms with a per-row 'score' column.
 
         classic: score = sqrt(tf) · value_qid · norm(doc, field) · boost
         bm25:    score = boost · idf_qid · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))
         value/idf arrive as per-qid literal arrays (driver-computed).
+        ``src``: optional postings source (e.g. a conjunction-restricted
+        view) — defaults to the full index.
         """
         ix = self.index
-        df = decode_postings(ix, terms)
+        df = decode_postings(src or ix, terms)
         val_arr = F.array(*[F.lit(float(v)) for v in values])
         boost_arr = F.array(*[F.lit(float(b)) for b in boosts])
         if mode == "bm25":
@@ -498,8 +550,25 @@ class SparkSearcher:
                 values = [term_value(t, q.boost, child_qn) for t, _ in scorable]
             else:
                 values = [bm25_idf(ix.doc_freq(t), N) for t, _ in scorable]
+            req_terms = [
+                t for t, s in scorable if s is True or signs is None
+            ]
+            # conjunction range pruning: when the rarest REQUIRED term is
+            # selective, restrict every term's decode (optional and
+            # prohibited included — hits must contain the rare term
+            # regardless) to blocks overlapping its doc buckets. The
+            # classic '+conv_id:X +text:hot' shape decodes a handful of
+            # blocks instead of the hot term's whole posting list.
+            src = None
+            if req_terms:
+                rare = min(req_terms, key=lambda t: ix.doc_freq(t))
+                if ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= N:
+                    src = _conjunction_restricted_postings(
+                        ix, [t for t, _ in scorable] + prohibited, rare
+                    )
             leaf = self._leaf_df(
-                [t for t, _ in scorable], [1.0] * len(scorable), values, mode
+                [t for t, _ in scorable], [1.0] * len(scorable), values, mode,
+                src=src,
             )
             req_ids = [
                 i for i, (_t, s) in enumerate(scorable) if s is True or signs is None
@@ -513,7 +582,7 @@ class SparkSearcher:
             if req_ids:
                 agg = agg.where(F.col("_mr") == len(req_ids))
             if prohibited:
-                pro = decode_postings(ix, prohibited, docs_only=True).select(
+                pro = decode_postings(src or ix, prohibited, docs_only=True).select(
                     "doc_id"
                 ).distinct()
                 # Σ df (driver-known) bounds the prohibited set: broadcast
@@ -628,7 +697,15 @@ class SparkSearcher:
                 slot_qid.append(len(uniq))
                 uniq.append(t)
         n_uniq = len(uniq)
-        posts = decode_postings(ix, uniq, need_positions=True)
+        # a phrase is a conjunction of its terms: when the rarest one is
+        # selective, restrict every term's (positions-bearing, so
+        # heaviest) decode to its doc buckets — same exactness argument
+        # as the MultiTerm conjunction pruning
+        src = None
+        rare = min(uniq, key=lambda t: ix.doc_freq(t))
+        if ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= ix.n_docs:
+            src = _conjunction_restricted_postings(ix, uniq, rare)
+        posts = decode_postings(src or ix, uniq, need_positions=True)
         # pivot to one positions column per unique term (each (term,doc)
         # appears exactly once — blocks are doc-disjoint) — plain array
         # columns keep the freq kernel 100% numpy, no nested structs

@@ -81,3 +81,28 @@ def test_tokenize_to_numpy_multirow():
     assert list(row) == [0, 0, 2]
     assert list(terms) == ["a", "b", "c"]
     assert list(pos) == [1, 2, 1]
+
+
+def test_count_series_matches_tokenize():
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.analysis.analyzers import TEXT, TEXT_NUM, ENGLISH_STOP_WORDS
+
+    texts = pd.Series(
+        [
+            "Hello World 123", "", None, "the quick brown fox", "a1b2c3",
+            "Übung macht den Meister", "x" * 500, "tab tab tab!", "ONE two",
+        ]
+    )
+    cases = [
+        Analyzer(TEXT_NUM, lowercase=True),
+        Analyzer(TEXT, lowercase=True, translit=True),
+        Analyzer(TEXT, lowercase=True, stop_words=ENGLISH_STOP_WORDS),
+        Analyzer(TEXT_NUM, lowercase=True, min_length=3),
+    ]
+    for an in cases:
+        fast = an.count_series(texts)
+        slow = an.tokenize_series(texts).map(len).to_numpy(np.int64)
+        assert (fast == slow).all(), an

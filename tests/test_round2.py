@@ -72,6 +72,26 @@ def test_fuzzy_scans_past_old_window(wide_vocab_index):
     assert "t01499" in got
 
 
+def test_terms_from_skipto_edges(wide_vocab_index):
+    """Mirrors the reference's terms-stream skipTo edge cases
+    (IndexTest.php:374-480): before-first, between-terms, past-last,
+    unknown field — plus fc-path ≡ flat-path equivalence."""
+    ix = wide_vocab_index
+    assert list(ix.terms_from("text", "zzzz")) == []  # past last
+    assert next(iter(ix.terms_from("text", "t00000a"))) == "t00001"  # between
+    assert next(iter(ix.terms_from("text", ""))) == "filler"  # before first
+    assert list(ix.terms_from("nope", "")) == []  # unknown field
+    fc = ix._fc_blocks
+    assert fc is not None  # the build wrote front-coded blocks
+    try:
+        ix._fc_blocks = None
+        flat = list(ix.terms_from("text", "t01379", page_size=50))
+    finally:
+        ix._fc_blocks = fc
+    assert list(ix.terms_from("text", "t01379", page_size=50)) == flat
+    assert flat == [f"t{i:05d}" for i in range(1379, 1500)]
+
+
 def test_range_limit_still_raises(wide_vocab_index):
     from lucene_spark.search.query import RangeQuery
 
@@ -238,6 +258,40 @@ def test_duplicate_query_term_parity(spark_index, model_index, mode):
         (h.doc_id, round(h.score, 9)) for h in model_index.find(q, score_mode=mode)
     ]
     assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bm25", "classic"])
+@pytest.mark.parametrize(
+    "q",
+    [
+        "+conv_id:conv00000003 +text:spark",
+        "+text:cache +text:spark",
+        "+text:timeout +text:index -text:merge",
+        "+text:retry text:spark text:index",
+        'text:"spark index"',
+        'text:"index term"~2',
+    ],
+)
+def test_conjunction_range_pruning_parity(
+    spark_index, model_index, mode, q, monkeypatch
+):
+    """Force-engage conjunction range pruning (bucket quantum 1 — exact
+    doc buckets, maximal pruning) and require full parity vs the model.
+    The production gate (df·Q·4 ≤ N) only engages on selective required
+    terms; the restriction must be invisible to results either way."""
+    import lucene_spark.search.executor as ex
+
+    monkeypatch.setattr(ex, "RANGE_PRUNE_QUANTUM", 1)
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(spark_index).search(q, k=0, score_mode=mode).collect()
+    ]
+    want = [
+        (h.doc_id, round(h.score, 9)) for h in model_index.find(q, score_mode=mode)
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want], q
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(w[1], abs=1e-6)
 

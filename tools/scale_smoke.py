@@ -70,6 +70,14 @@ def main():
         t0 = time.time()
         s.search("+table +spark -vector", k=10).collect()
         t_bool = time.time() - t0
+        # conversation-scoped conjunction: the rare required keyword term
+        # engages range pruning — the hot text term decodes only blocks
+        # overlapping that conversation's contiguous doc range
+        conv = ix.docs.select("conv_id").limit(1).collect()[0]["conv_id"]
+        t0 = time.time()
+        scoped = s.search(f"+conv_id:{conv} +text:table", k=10).collect()
+        t_scoped = time.time() - t0
+        assert len(scoped) > 0
 
         from lucene_spark.search.executor import topk_term_pruned
         from lucene_spark.search.query import Term
@@ -87,6 +95,7 @@ def main():
             "wand_blocks_total": stats["blocks_total"],
             "wand_blocks_decoded": stats["blocks_decoded"],
             "q_bool_sec": round(t_bool, 2),
+            "q_conv_scoped_sec": round(t_scoped, 2),
             "cpus": cpus,
         }))
     finally:
