@@ -1175,6 +1175,19 @@ def _ann_pairs(spark, sf_dir):
     )
 
 
+def _ann_pairs_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dup pairs — the bucketed scale path
+    replacing the cross join; exact cosine verification on candidates."""
+    from lucene_spark.ops.similarity import rp_lsh_pairs
+
+    out = rp_lsh_pairs(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
 _ANN_PAIRS_SQL = f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -1187,6 +1200,47 @@ nv AS (
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
        round({_COS_FOLD.format(a='a.nev', b='b.nev')}, 6) AS cos
 FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {_COS_FOLD.format(a='a.nev', b='b.nev')} >= 0.3
+"""
+
+
+# random-hyperplane sign bits: weight(p,i) = (md5-int('rp:p:i') % 2001
+# − 1000)/1000, same fold order as the Spark dot — signs match exactly
+_ANN_LSH_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+planes AS (
+    SELECT p, list_transform(
+        range(0, (SELECT len(ev) FROM v LIMIT 1)),
+        i -> ((CAST(concat('0x', substr(md5('rp:' || p || ':' || i), 1, 15)) AS BIGINT)
+               % 2001) - 1000) / 1000.0) AS w
+    FROM (SELECT unnest(range(0, 16)) AS p)
+),
+bits AS (
+    SELECT v.vec_id, pl.p,
+           CASE WHEN {_COS_FOLD.format(a='v.ev', b='pl.w')} >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM v, planes pl
+),
+bkeys AS (
+    SELECT vec_id, p // 8 AS band,
+           string_agg(bit::VARCHAR, '' ORDER BY p) AS key
+    FROM bits GROUP BY vec_id, p // 8
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM bkeys x JOIN bkeys y ON x.band = y.band AND x.key = y.key
+        AND x.vec_id < y.vec_id
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(ev, x -> x / {_NORM_FOLD.format(a='ev')}) AS nev
+    FROM v
+)
+SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b,
+       round({_COS_FOLD.format(a='a.nev', b='b.nev')}, 6) AS cos
+FROM cand c
+JOIN nv a ON a.vec_id = c.id_a
+JOIN nv b ON b.vec_id = c.id_b
 WHERE {_COS_FOLD.format(a='a.nev', b='b.nev')} >= 0.3
 """
 
@@ -1401,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ann_ivf": _ann_ivf,
         "ann_pairs": _ann_pairs,
+        "ann_pairs_lsh": _ann_pairs_lsh,
         "tx_lang_id": _tx_lang,
         "tx_quality": _tx_quality,
         "tx_token_counts": _tx_token_counts,
@@ -1445,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "ann_pairs": _ANN_PAIRS_SQL,
+        "ann_pairs_lsh": _ANN_LSH_SQL,
         "tx_lang_id": _TX_LANG_SQL,
         "tx_quality": _TX_QUALITY_SQL,
         "tx_token_counts": _TX_TOKEN_COUNTS_SQL,

@@ -26,6 +26,7 @@ from lucene_spark.ops.similarity import (
     brute_force_topk,
     cosine_pairs,
     ivf_topk,
+    rp_lsh_pairs,
 )
 from lucene_spark.ops.textstats import (
     fingerprint,
@@ -35,6 +36,7 @@ from lucene_spark.ops.textstats import (
 )
 
 __all__ = [
+    "rp_lsh_pairs",
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_signature",

@@ -115,6 +115,93 @@ def ivf_topk(
     return brute_force_topk(pruned, id_col, vec_col, query_vec, k)
 
 
+RP_N_PLANES = 16  # random hyperplanes for sign-LSH
+RP_BAND_SIZE = 8  # 16 bits → 2 bands of 8
+
+
+def _rp_weight(plane: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1), derived
+    from md5 so the DuckDB oracle reproduces it bit-for-bit."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{plane}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def rp_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+    dim: int | None = None,
+    n_planes: int = RP_N_PLANES,
+    band_size: int = RP_BAND_SIZE,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (sign) LSH — the
+    SCALE path that replaces :func:`cosine_pairs`' cross join.
+
+    Each vector gets ``n_planes`` sign bits (dot with deterministic
+    hyperplanes ≥ 0), grouped into bands; candidate pairs share at least
+    one full band key (bucket join — |bucket|² work, never all pairs;
+    AQE skew-join splits pathological buckets), then exact cosine ≥
+    threshold verifies. Reported cosines are exact; recall < 1 by
+    design (two bands of 8 bits ⇒ high recall only for high-cosine
+    pairs — the near-duplicate regime). Bits/bands mirror the MinHash
+    LSH design so the same DuckDB oracle strategy applies verbatim.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = _as_double(F.col(vec_col))
+    bits = [
+        (
+            dot(v, F.array(*[F.lit(_rp_weight(p, i)) for i in range(dim)]))
+            >= 0
+        ).cast("int")
+        for p in range(n_planes)
+    ]
+    n_bands = n_planes // band_size
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                bits[bi * band_size + r].cast("string")
+                                for r in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: x / l2norm(_as_double(F.col(vec_col))),
+        ).alias("nv"),
+    )
+    return (
+        cand.join(normed.select(F.col("id").alias("id_a"), F.col("nv").alias("nv_a")), "id_a")
+        .join(normed.select(F.col("id").alias("id_b"), F.col("nv").alias("nv_b")), "id_b")
+        .select("id_a", "id_b", dot(F.col("nv_a"), F.col("nv_b")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

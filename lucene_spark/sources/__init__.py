@@ -1,4 +1,5 @@
 from lucene_spark.sources.html import html_fields, parse_html
+from lucene_spark.sources.table import TRANSCRIPT_COLUMNS, read_transcripts
 from lucene_spark.sources.openxml import (
     docx_fields,
     openxml_fields,
@@ -7,6 +8,8 @@ from lucene_spark.sources.openxml import (
 )
 
 __all__ = [
+    "read_transcripts",
+    "TRANSCRIPT_COLUMNS",
     "parse_html",
     "html_fields",
     "openxml_fields",

@@ -378,6 +378,62 @@ def test_ngram_jaccard_shingle_cap(spark):
     assert hot_df == 32  # the cap was actually load-bearing
 
 
+# ------------------------------------------------ embedding LSH pairs
+
+
+def test_rp_lsh_pairs_subset_of_exact(spark):
+    import numpy as np
+
+    from lucene_spark.ops.similarity import cosine_pairs, rp_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # near-dup clusters
+            v = b + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cos"], 9)
+        for r in cosine_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): round(r["cos"], 9)
+        for r in rp_lsh_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    # verified candidates ⊆ exact pairs, with identical cosine values
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # near-dup clusters (cos ≈ 0.99) should be recalled by sign-LSH
+    assert len(lsh) >= len(exact) // 2
+
+
+# --------------------------------------------------- input table seam
+
+
+def test_read_transcripts_seam(spark, transcripts_df, tmp_path_factory):
+    from lucene_spark.sources import read_transcripts
+
+    p = str(tmp_path_factory.mktemp("tr_src") / "t.parquet")
+    transcripts_df.write.mode("overwrite").parquet(p)
+    by_path = read_transcripts(spark, p)
+    assert by_path.count() == transcripts_df.count()
+    # catalog-identifier branch (spark.read.table) via a temp view
+    transcripts_df.createOrReplaceTempView("tr_seam_view")
+    by_table = read_transcripts(spark, "tr_seam_view")
+    assert by_table.count() == transcripts_df.count()
+    bad = str(tmp_path_factory.mktemp("bad_src") / "b.parquet")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.mode(
+        "overwrite"
+    ).parquet(bad)
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_transcripts(spark, bad)
+
+
 # ---------------------------------------------- crash-safe delta merge
 
 
