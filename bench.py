@@ -114,6 +114,17 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings["q_wand_term"] = round(statistics.median(runs), 3)
 
+        # conversation-scoped conjunction: the rare conv_id keyword term
+        # engages range pruning, so the hot text term decodes only the
+        # conversation's block range
+        conv = ix.docs.select("conv_id").limit(1).collect()[0]["conv_id"]
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            searcher.search(f"+conv_id:{conv} +text:table", k=10).collect()
+            runs.append(time.time() - t0)
+        timings["q_conv_scoped"] = round(statistics.median(runs), 3)
+
         query_secs = [v for k, v in timings.items() if k.startswith("q_")]
         out = {
             "metric": "index_build+bm25_topk_suite",

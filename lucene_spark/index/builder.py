@@ -752,6 +752,11 @@ def build_index(
             for f in text_like
         },
         "block_size": BLOCK_SIZE,
+        # index-time boosts must survive optimize/rebuild — norms are
+        # recomputed there from config, and dropping these would
+        # silently change every boosted norm byte
+        "field_boosts": cfg.field_boosts,
+        "doc_boost_col": cfg.doc_boost_col,
         "analyzer": {
             "token_pattern": cfg.analyzer.token_pattern,
             "lowercase": cfg.analyzer.lowercase,

@@ -120,4 +120,7 @@ def _config_from_stats(index: SparkIndex) -> IndexConfig:
             min_length=a["min_length"],
             translit=a["translit"],
         ),
+        # carry index-time boosts through optimize (norm recompute)
+        field_boosts=dict(index.stats.get("field_boosts") or {}),
+        doc_boost_col=index.stats.get("doc_boost_col"),
     )

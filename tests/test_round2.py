@@ -220,6 +220,40 @@ def test_index_time_boosts_classic_golden(spark, tmp_path_factory):
             assert g[1] == pytest.approx(w[1], abs=1e-6), (q, g, w)
 
 
+def test_optimize_preserves_boosts(spark, tmp_path_factory):
+    """optimize rebuilds norms from config — index-time boosts must
+    survive the round trip through stats.json or every boosted norm
+    byte silently changes."""
+    from lucene_spark.index.lifecycle import optimize_index
+
+    rows = [
+        (0, "alpha beta gamma", 1.0),
+        (1, "alpha beta", 3.0),
+        (2, "alpha", 0.5),
+        (3, "beta gamma delta alpha", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w double")
+    d1 = str(tmp_path_factory.mktemp("boost_pre"))
+    d2 = str(tmp_path_factory.mktemp("boost_post"))
+    cfg = IndexConfig(
+        field_policy={"text": "text"},
+        field_boosts={"text": 2.0},
+        doc_boost_col="w",
+        seg_size=2,
+    )
+    ix = build_index(spark, df, d1, cfg, order_cols=["doc_id"])
+    before = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(ix).search("text:alpha", k=0, score_mode="classic").collect()
+    ]
+    ix2 = optimize_index(ix, d2)
+    after = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(ix2).search("text:alpha", k=0, score_mode="classic").collect()
+    ]
+    assert before == after
+
+
 # ------------------------------------------- pre-sort result_set_limit
 
 

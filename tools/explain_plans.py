@@ -46,6 +46,20 @@ def _wand_df(ix):
     return df
 
 
+def _scoped_df(e, spark, sf):
+    import lucene_spark.search.executor as ex
+    from lucene_spark.search.executor import SparkSearcher
+
+    tix = e._transcripts_index_for(spark, sf)
+    conv = tix.docs.select("conv_id").limit(1).collect()[0]["conv_id"]
+    prev = ex.RANGE_PRUNE_QUANTUM
+    ex.RANGE_PRUNE_QUANTUM = 4  # engage on the tiny gate corpus
+    try:
+        return SparkSearcher(tix).search(f"+conv_id:{conv} +text:table", k=10)
+    finally:
+        ex.RANGE_PRUNE_QUANTUM = prev
+
+
 def main():
     from lucene_spark.ops import brute_force_topk, minhash_lsh_pairs
     from lucene_spark.search.executor import SparkSearcher
@@ -101,6 +115,16 @@ def main():
             "pairs compared to θ — metadata columns only; the binary "
             "posting streams are read exclusively by the decode of "
             "SURVIVING blocks. No block metadata is collected.",
+        ),
+        (
+            "Conversation-scoped conjunction (`+conv_id:X +text:table`)",
+            _scoped_df(e, spark, sf),
+            "Conjunction range pruning (bucket quantum forced small for "
+            "the tiny sf0.01 corpus — the production gate engages at "
+            "df·256 ≤ N): the rare conv_id term's doc ids decode first, "
+            "and BOTH terms' posting scans are joined against the "
+            "metadata-only survivor keys, so the hot term reads only "
+            "blocks overlapping the conversation's doc range.",
         ),
         (
             "ANN brute-force cosine top-k",
