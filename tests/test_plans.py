@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+documented in PLANS.md, asserted so they can't silently rot.
+
+These look at the EXECUTED plan string — pushdown, column pruning,
+join strategies, codegen — the properties that decide whether the same
+query is viable at 100 TB."""
+
+import pytest
+
+from lucene_spark.search.executor import SparkSearcher, topk_wand
+from lucene_spark.search.query import Term
+from lucene_spark.search.similarity import bm25_idf
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def searcher(spark_index):
+    return SparkSearcher(spark_index)
+
+
+def test_term_query_scan_is_pruned(searcher):
+    p = _plan(searcher.search("text:spark", k=10))
+    # filter pushed into the parquet scan's DataFilters
+    assert "FileScan parquet" in p and "(term" in p
+    # column pruning: the positions stream must NOT be read for a
+    # non-phrase query (it is the largest column in the index)
+    assert "pos_bin" not in p
+    # scoring is codegen'd column arithmetic ('*(n)' stage prefixes),
+    # not a Python eval — the only Python is the decode MapInPandas
+    assert "*(1)" in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_phrase_reads_positions_and_only_phrase(searcher, spark_index):
+    p_phrase = _plan(searcher.search('text:"spark index"', k=10))
+    assert "pos_bin" in p_phrase  # positions read here…
+    p_bool = _plan(searcher.search("+text:spark +text:index", k=10))
+    assert "pos_bin" not in p_bool  # …and only here
+
+
+def test_multi_term_single_scan_single_exchange(searcher):
+    p = _plan(searcher.search("+text:spark +text:index", k=10))
+    # both terms arrive via ONE scan (OR-pushed filter)…
+    assert p.count("FileScan parquet") == 1
+    # …and one hash exchange on doc_id for the aggregation
+    assert p.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_prohibited_set_broadcast_anti_join(searcher):
+    p = _plan(searcher.search("+text:spark -text:merge", k=10))
+    assert "LeftAnti" in p
+    # df('merge') is far under the broadcast bound → no shuffled anti-join
+    assert "BroadcastHashJoin" in p
+
+
+def test_wand_filter_is_metadata_only(spark_index):
+    t = Term("spark", "text")
+    spark_index.prefetch_terms([t])
+    idf = bm25_idf(spark_index.doc_freq(t), spark_index.n_docs)
+    df, _ = topk_wand(spark_index, [t], [idf], k=10)
+    p = _plan(df)
+    # the survivor filter is the impact-pair bound evaluated IN the scan
+    # filter (higher-order expression over the metadata arrays)…
+    assert "array_max" in p and "zip_with" in p
+    # …and the final answer is a distributed TakeOrdered, k rows out
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dedup_lsh_never_cross_joins(spark, spark_index):
+    from lucene_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = spark_index.docs.select("doc_id", "text")
+    p = _plan(minhash_lsh_pairs(docs, "doc_id", "text", 0.5))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
