@@ -366,6 +366,22 @@ def assign_doc_ids_dense(
     return out
 
 
+def pareto_impacts(t: np.ndarray, dl: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pareto frontier of a block's (tf, dl) pairs: no doc has higher tf
+    AND lower dl than a returned pair, so for ANY monotone impact
+    function (increasing in tf, decreasing in dl — BM25's partial for
+    every k1/b/avgdl) the block's true max impact is attained on the
+    frontier. Sorted tf-descending."""
+    po = np.lexsort((dl, -t))
+    pt, pd_ = t[po], dl[po]
+    # keep iff dl strictly below every dl at >= tf (equal-tf runs keep
+    # their min-dl head; equal-dl lower-tf pairs are dominated)
+    keep_mask = np.empty(len(pt), dtype=bool)
+    keep_mask[0] = True
+    keep_mask[1:] = pd_[1:] < np.minimum.accumulate(pd_)[:-1]
+    return pt[keep_mask], pd_[keep_mask]
+
+
 def _invert_segment(cfg: IndexConfig):
     """applyInPandas kernel: one segment's docs → packed posting blocks.
 
@@ -475,19 +491,7 @@ def _invert_segment(cfg: IndexConfig):
                 d = g_docs[s:e]
                 t = g_tfs[s:e]
                 dl = g_dls[s:e]
-                # Pareto impact frontier: sort (tf desc, dl asc), keep
-                # pairs with strictly decreasing dl — every kept pair
-                # has the min dl among docs with tf >= its tf
-                po = np.lexsort((dl, -t))
-                pt, pd_ = t[po], dl[po]
-                # keep iff dl strictly below every dl at >= tf (equal-tf
-                # runs keep their min-dl head; equal-dl lower-tf pairs
-                # are dominated by the strict <)
-                keep_mask = np.empty(len(pt), dtype=bool)
-                keep_mask[0] = True
-                keep_mask[1:] = pd_[1:] < np.minimum.accumulate(pd_)[:-1]
-                imp_tf = pt[keep_mask]
-                imp_dl = pd_[keep_mask]
+                imp_tf, imp_dl = pareto_impacts(t, dl)
                 base = int(d[0]) - 1
                 docs_bin = vb_encode(np.diff(d, prepend=np.int64(base)).astype(np.uint64))
                 tfs_bin = vb_encode(t.astype(np.uint64))

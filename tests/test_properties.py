@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) defending the round-2 derivations:
+
+1. The ft_phrase_sloppy SQL oracle's closed form equals the reference's
+   candidate-queue algorithm (phrase.sloppy_phrase_freq) for two-slot
+   phrases — anchor multiplicity 2^max(i−2,0), later-in-window-b
+   multiplicity 2^(rank−1), contribution mult/(d+1).
+2. The per-block Pareto impact frontier attains the block's true max
+   BM25 impact for every (k1, b, avgdl) — the exactness premise of the
+   WAND bound.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_spark.index.builder import pareto_impacts
+from lucene_spark.search.phrase import sloppy_phrase_freq
+from lucene_spark.search.similarity import bm25_partial
+
+
+def _closed_form(pa, pb, delta, slop):
+    """The ft_phrase_sloppy oracle's formula (mirrors the SQL)."""
+    freq = 0.0
+    for i, a in enumerate(pa):
+        w = 2.0 ** max(i - 1, 0)
+        r = 0
+        for j, b in enumerate(pb):
+            d = abs(b - a - delta)
+            if j == 0:
+                if d <= slop:
+                    freq += w / (d + 1)
+            else:
+                if d <= slop:
+                    freq += w * (2.0**r) / (d + 1)
+                    r += 1
+    return freq
+
+
+positions = st.lists(
+    st.integers(min_value=1, max_value=60), min_size=1, max_size=7, unique=True
+).map(sorted)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pa=positions, pb=positions, delta=st.integers(1, 4), slop=st.integers(1, 5))
+def test_sloppy_closed_form_matches_queue(pa, pb, delta, slop):
+    want = sloppy_phrase_freq([pa, pb], [0, delta], slop)
+    got = _closed_form(pa, pb, delta, slop)
+    assert abs(want - got) < 1e-9 * max(1.0, abs(want))
+
+
+blocks = st.lists(
+    st.tuples(st.integers(1, 50), st.integers(1, 500)), min_size=1, max_size=128
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pairs=blocks,
+    k1=st.floats(0.1, 3.0),
+    b=st.floats(0.0, 1.0),
+    avgdl=st.floats(1.0, 300.0),
+)
+def test_pareto_frontier_attains_block_max_impact(pairs, k1, b, avgdl):
+    t = np.array([p[0] for p in pairs], dtype=np.int64)
+    dl = np.array([p[1] for p in pairs], dtype=np.int64)
+    ft, fdl = pareto_impacts(t, dl)
+    # frontier is a subset of the block's pairs
+    assert set(zip(ft.tolist(), fdl.tolist())) <= set(pairs)
+
+    def partial(tf, d):
+        return (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * d / avgdl))
+
+    true_max = max(partial(x, y) for x, y in pairs)
+    frontier_max = max(partial(x, y) for x, y in zip(ft, fdl))
+    assert frontier_max == true_max
+
+
+def test_bm25_partial_monotone_spotcheck():
+    # the premise the frontier proof rests on: increasing in tf,
+    # decreasing in dl
+    assert bm25_partial(3, 10, 50.0) > bm25_partial(2, 10, 50.0)
+    assert bm25_partial(3, 10, 50.0) > bm25_partial(3, 20, 50.0)
