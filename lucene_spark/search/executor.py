@@ -518,8 +518,14 @@ class SparkSearcher:
         return df.select("qid", "doc_id", score.alias("score"))
 
     # ---- recursive node compilation -----------------------------------
-    def _node_df(self, q: Query, qn: float, mode: str) -> DataFrame | None:
-        """DF (doc_id, score) with only score≠0 rows (matched docs)."""
+    def _node_df(self, q: Query, qn: float, mode: str, src=None) -> DataFrame | None:
+        """DF (doc_id, score) with only score≠0 rows (matched docs).
+
+        ``src``: optional conjunction-restricted postings view handed
+        down by an enclosing required context (BooleanQuery with a
+        selective required term) — every decode in this subtree then
+        reads only blocks overlapping the rare term's doc buckets.
+        """
         ix = self.index
         N = ix.n_docs
 
@@ -530,10 +536,11 @@ class SparkSearcher:
         if isinstance(q, TermQuery):
             if mode == "classic":
                 v = term_value(q.term, q.boost, qn)
-                df = self._leaf_df([q.term], [q.boost], [v], mode)
+                df = self._leaf_df([q.term], [q.boost], [v], mode, src=src)
             else:
                 df = self._leaf_df(
-                    [q.term], [q.boost], [bm25_idf(ix.doc_freq(q.term), N)], mode
+                    [q.term], [q.boost], [bm25_idf(ix.doc_freq(q.term), N)],
+                    mode, src=src,
                 )
             return df.select("doc_id", "score")
 
@@ -559,8 +566,7 @@ class SparkSearcher:
             # regardless) to blocks overlapping its doc buckets. The
             # classic '+conv_id:X +text:hot' shape decodes a handful of
             # blocks instead of the hot term's whole posting list.
-            src = None
-            if req_terms:
+            if src is None and req_terms:
                 rare = min(req_terms, key=lambda t: ix.doc_freq(t))
                 if ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= N:
                     src = _conjunction_restricted_postings(
@@ -612,10 +618,28 @@ class SparkSearcher:
         if isinstance(q, BooleanQuery):
             signs = q.signs
             child_qn = qn * q.boost
+            # subtree conjunction pruning: a selective REQUIRED TermQuery
+            # child (e.g. '+conv_id:X' next to a phrase) restricts every
+            # sibling's decode — any doc matching the Boolean must
+            # contain it, so the proof from the MultiTerm case carries
+            # over to arbitrary subtrees (phrases included)
+            if src is None:
+                req_term_children = [
+                    sub.term
+                    for i, sub in enumerate(q.subqueries)
+                    if isinstance(sub, TermQuery)
+                    and (signs is None or signs[i] is True)
+                ]
+                if req_term_children:
+                    rare = min(req_term_children, key=lambda t: ix.doc_freq(t))
+                    if ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= N:
+                        src = _conjunction_restricted_postings(
+                            ix, _collect_terms(q), rare
+                        )
             subs = []
             for i, sub in enumerate(q.subqueries):
                 s = True if signs is None else signs[i]
-                df = self._node_df(sub, child_qn, mode)
+                df = self._node_df(sub, child_qn, mode, src=src)
                 subs.append((df, s))
             pos = [(df, s) for df, s in subs if s is not False]
             pro = [df for df, s in subs if s is False]
@@ -670,13 +694,15 @@ class SparkSearcher:
             return agg.select("doc_id", score.alias("score"))
 
         if isinstance(q, PhraseQuery):
-            return self._phrase_df(q, qn, mode)
+            return self._phrase_df(q, qn, mode, src=src)
 
         if isinstance(q, (Insignificant, EmptyResult)):
             return None
         raise TypeError(f"cannot execute {type(q).__name__}")
 
-    def _phrase_df(self, q: PhraseQuery, qn: float, mode: str) -> DataFrame:
+    def _phrase_df(
+        self, q: PhraseQuery, qn: float, mode: str, src=None
+    ) -> DataFrame:
         """Phrase matching with ONE shuffle: decoded per-term positions
         are grouped by doc_id (collect_list of (qid, positions)) instead
         of an (n_terms−1)-way self-join — at 10^6+ docs the join chain
@@ -701,9 +727,8 @@ class SparkSearcher:
         # selective, restrict every term's (positions-bearing, so
         # heaviest) decode to its doc buckets — same exactness argument
         # as the MultiTerm conjunction pruning
-        src = None
         rare = min(uniq, key=lambda t: ix.doc_freq(t))
-        if ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= ix.n_docs:
+        if src is None and ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= ix.n_docs:
             src = _conjunction_restricted_postings(ix, uniq, rare)
         posts = decode_postings(src or ix, uniq, need_positions=True)
         # pivot to one positions column per unique term (each (term,doc)

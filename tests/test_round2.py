@@ -306,6 +306,8 @@ def test_duplicate_query_term_parity(spark_index, model_index, mode):
         "+text:retry text:spark text:index",
         'text:"spark index"',
         'text:"index term"~2',
+        '+conv_id:conv00000003 +text:"spark index"',  # scoped phrase
+        '+text:cache +(text:spark text:merge) -text:wildcard',  # nested
     ],
 )
 def test_conjunction_range_pruning_parity(
