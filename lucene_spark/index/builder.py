@@ -824,44 +824,91 @@ class SparkIndex:
         self._df_cache: dict[tuple[str, str], int] = {}
 
     def _attach_delta(self) -> None:
-        """Union unmerged streaming delta chunks into the queryable
-        views (an unmerged reference index is likewise searchable across
-        its whole segment list); term stats aggregate base + delta."""
+        """Union unmerged streaming tiers into the queryable views (an
+        unmerged reference index is likewise searchable across its whole
+        segment list): sealed GENERATIONS (promote_delta output —
+        compacted, sorted mini-indexes) plus live delta micro-batches
+        not yet promoted into any generation. Term stats aggregate
+        across every tier."""
+        spark = self.spark
+        attached_any = False
+        promoted: set[int] = set()
+
+        def union_tier(postings_dir, docs_dir, td_dir):
+            nonlocal attached_any
+            d_post = spark.read.parquet(postings_dir)
+            d_docs = spark.read.parquet(docs_dir)
+            d_td = spark.read.parquet(td_dir)
+            return d_post, d_docs, d_td
+
+        tiers = []  # (postings, docs, term_dict) DataFrames to union
+        gen_root = os.path.join(self.index_dir, "gens")
+        if os.path.isdir(gen_root):
+            for entry in sorted(os.listdir(gen_root)):
+                gdir = os.path.join(gen_root, entry)
+                gmeta = os.path.join(gdir, "meta")
+                if not os.path.exists(os.path.join(gmeta, "_SUCCESS")):
+                    continue  # partial generation (crashed promote) — ignored
+                tiers.append(
+                    union_tier(
+                        os.path.join(gdir, "postings"),
+                        os.path.join(gdir, "docs"),
+                        os.path.join(gdir, "term_dict"),
+                    )
+                )
+                for m in spark.read.parquet(gmeta).collect():
+                    promoted.update(json.loads(m["batch_ids"]))
+                    self._delta_docs += m["n_docs"]
+                    for f, fs in json.loads(m["field_stats"]).items():
+                        agg = self._delta_field_stats.setdefault(
+                            f, {"sum_len": 0, "n_docs_with_field": 0}
+                        )
+                        agg["sum_len"] += fs["sum_len"]
+                        agg["n_docs_with_field"] += fs["n_docs_with_field"]
+
         droot = os.path.join(self.index_dir, "delta")
         meta_dir = os.path.join(droot, "meta")
-        if not os.path.isdir(meta_dir):
-            return
-        self._fc_blocks = None  # delta terms aren't front-coded yet
-        spark = self.spark
-        d_post = spark.read.parquet(os.path.join(droot, "postings")).select(
-            self.postings.columns
-        )
-        self.postings = self.postings.unionByName(d_post)
-        d_docs = spark.read.parquet(os.path.join(droot, "docs")).select(
-            self.docs.columns
-        )
-        self.docs = self.docs.unionByName(d_docs)
-        d_td = spark.read.parquet(os.path.join(droot, "term_dict")).select(
-            self.term_dict.columns
-        )
-        self.term_dict = (
-            self.term_dict.unionByName(d_td)
-            .groupBy("field", "term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.sum("n_blocks").alias("n_blocks"),
-                F.max("max_tf").alias("max_tf"),
-            )
-        )
-        for m in spark.read.parquet(meta_dir).collect():
-            self._delta_docs += m["n_docs"]
-            for f, fs in json.loads(m["field_stats"]).items():
-                agg = self._delta_field_stats.setdefault(
-                    f, {"sum_len": 0, "n_docs_with_field": 0}
+        live_batches: list[int] = []
+        if os.path.isdir(meta_dir):
+            for m in spark.read.parquet(meta_dir).collect():
+                bid = int(m["batch_id"])
+                if bid in promoted:
+                    continue  # already sealed into a generation
+                live_batches.append(bid)
+                self._delta_docs += m["n_docs"]
+                for f, fs in json.loads(m["field_stats"]).items():
+                    agg = self._delta_field_stats.setdefault(
+                        f, {"sum_len": 0, "n_docs_with_field": 0}
+                    )
+                    agg["sum_len"] += fs["sum_len"]
+                    agg["n_docs_with_field"] += fs["n_docs_with_field"]
+            if live_batches:
+                flt = F.col("batch").isin([int(b) for b in live_batches])
+                tiers.append(
+                    (
+                        spark.read.parquet(os.path.join(droot, "postings")).where(flt),
+                        spark.read.parquet(os.path.join(droot, "docs")).where(flt),
+                        spark.read.parquet(os.path.join(droot, "term_dict")).where(flt),
+                    )
                 )
-                agg["sum_len"] += fs["sum_len"]
-                agg["n_docs_with_field"] += fs["n_docs_with_field"]
+
+        if not tiers:
+            return
+        self._fc_blocks = None  # tier terms aren't front-coded yet
+        for d_post, d_docs, d_td in tiers:
+            self.postings = self.postings.unionByName(
+                d_post.select(self.postings.columns)
+            )
+            self.docs = self.docs.unionByName(d_docs.select(self.docs.columns))
+            self.term_dict = self.term_dict.unionByName(
+                d_td.select(self.term_dict.columns)
+            )
+        self.term_dict = self.term_dict.groupBy("field", "term").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.max("max_tf").alias("max_tf"),
+        )
 
     def refresh_tombstones(self) -> None:
         """(Re)load the logical-delete tombstone table if present."""

@@ -198,6 +198,9 @@ def _finish_merge_swap(index_dir: str) -> None:
     droot = os.path.join(index_dir, DELTA_DIR)
     if os.path.isdir(droot):
         shutil.rmtree(droot)
+    gen_root = os.path.join(index_dir, "gens")
+    if os.path.isdir(gen_root):
+        shutil.rmtree(gen_root)
     if os.path.exists(marker):
         os.remove(marker)
 
@@ -209,6 +212,121 @@ def recover_merge(index_dir: str) -> bool:
         _finish_merge_swap(index_dir)
         return True
     return False
+
+
+def _promoted_batches(spark, index_dir: str) -> set[int]:
+    """Batch ids already sealed into a generation (gen meta rows)."""
+    out: set[int] = set()
+    gen_root = os.path.join(index_dir, "gens")
+    if os.path.isdir(gen_root):
+        for entry in os.listdir(gen_root):
+            gmeta = os.path.join(gen_root, entry, "meta")
+            if os.path.exists(os.path.join(gmeta, "_SUCCESS")):
+                for m in spark.read.parquet(gmeta).collect():
+                    out.update(json.loads(m["batch_ids"]))
+    return out
+
+
+def promote_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex:
+    """Seal the live delta micro-batches into a GENERATION — the cheap
+    merge tier. Cost is O(delta) only (no base rewrite): the batches'
+    fragmented per-micro-batch posting files are re-range-partitioned
+    and sorted into one compact mini-index under ``gens/gen=<g>/``, and
+    queries union base + generations + any newer delta.
+
+    Crash-safe and idempotent: the generation's ``meta`` (which records
+    the promoted batch_ids) is written LAST — a crashed promote leaves a
+    meta-less dir that loaders ignore and the next promote overwrites;
+    promoted batches stay in ``delta/`` (loaders skip them via the gen
+    metas) until :func:`merge_delta` compacts everything, so no step
+    here deletes data. Use :func:`maybe_compact` for the geometric
+    policy between this and the full merge.
+    """
+    spark = index.spark
+    index_dir = index.index_dir
+    droot = os.path.join(index_dir, DELTA_DIR)
+    meta_dir = _delta(index_dir, "meta")
+    if not os.path.isdir(meta_dir):
+        return index
+    promoted = _promoted_batches(spark, index_dir)
+    metas = [
+        m
+        for m in spark.read.parquet(meta_dir).collect()
+        if int(m["batch_id"]) not in promoted
+    ]
+    if not metas:
+        return index
+    batches = [int(m["batch_id"]) for m in metas]
+    gen_root = os.path.join(index_dir, "gens")
+    existing = [
+        int(e.split("=", 1)[1])
+        for e in (os.listdir(gen_root) if os.path.isdir(gen_root) else [])
+        if e.startswith("gen=")
+    ]
+    gdir = os.path.join(gen_root, f"gen={max(existing, default=-1) + 1}")
+    flt = F.col("batch").isin(batches)
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    (
+        spark.read.parquet(os.path.join(droot, "postings"))
+        .where(flt)
+        .drop("batch")
+        .repartitionByRange(n_part, "field", "term", "doc_base")
+        .sortWithinPartitions("field", "term", "doc_base")
+        .write.mode("overwrite")
+        .parquet(os.path.join(gdir, "postings"))
+    )
+    (
+        spark.read.parquet(os.path.join(gdir, "postings"))
+        .groupBy("field", "term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.count("*").alias("n_blocks"),
+            F.max("block_max_tf").alias("max_tf"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(gdir, "term_dict"))
+    )
+    (
+        spark.read.parquet(os.path.join(droot, "docs"))
+        .where(flt)
+        .drop("batch")
+        .write.mode("overwrite")
+        .parquet(os.path.join(gdir, "docs"))
+    )
+    n_docs = sum(int(m["n_docs"]) for m in metas)
+    fs_merged: dict[str, dict[str, int]] = {}
+    for m in metas:
+        for f, fs in json.loads(m["field_stats"]).items():
+            agg = fs_merged.setdefault(f, {"sum_len": 0, "n_docs_with_field": 0})
+            agg["sum_len"] += fs["sum_len"]
+            agg["n_docs_with_field"] += fs["n_docs_with_field"]
+    meta = spark.createDataFrame(
+        [(json.dumps(sorted(batches)), n_docs, json.dumps(fs_merged))],
+        "batch_ids string, n_docs long, field_stats string",
+    )
+    # meta LAST — its presence makes the generation durable/visible
+    meta.write.mode("overwrite").parquet(os.path.join(gdir, "meta"))
+    return load_index(spark, index_dir)
+
+
+def maybe_compact(
+    index: SparkIndex,
+    cfg: IndexConfig | None = None,
+    full_merge_ratio: float = 0.25,
+) -> SparkIndex:
+    """Geometric merge policy (≙ the reference's tiered merges,
+    Writer.php:642-742): promote the live delta into a generation when
+    the unmerged tiers are still small relative to the base; run the
+    full :func:`merge_delta` compaction once Σ tier docs ≥
+    ``full_merge_ratio`` × base docs."""
+    base = index.stats["n_docs"]
+    tier_docs = index._delta_docs
+    if tier_docs == 0:
+        return index
+    if base and tier_docs >= full_merge_ratio * base:
+        return merge_delta(index, cfg)
+    return promote_delta(index, cfg)
 
 
 def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex:
@@ -227,29 +345,56 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
 
     Scale note: like the reference's segment merge this rewrites the
     data it touches, so the postings exchange AND the docs rewrite are
-    O(base + delta). Run it geometrically (when Σ delta ≳ a constant
-    fraction of base), not per micro-batch.
+    O(base + all tiers). Run it geometrically — :func:`maybe_compact`
+    promotes cheap generations until the tiers are worth folding in.
+    Absorbs sealed generations AND the live delta (promoted batches are
+    read from their generation, never double-counted from delta/).
     """
     spark = index.spark
     index_dir = index.index_dir
     if recover_merge(index_dir):
         return load_index(spark, index_dir)
     droot = os.path.join(index_dir, DELTA_DIR)
-    if not os.path.isdir(droot):
+    gen_root = os.path.join(index_dir, "gens")
+    tier_postings = []
+    tier_docs = []
+    metas = []  # rows with n_docs + field_stats (delta metas + gen metas)
+    if os.path.isdir(gen_root):
+        for entry in sorted(os.listdir(gen_root)):
+            gdir = os.path.join(gen_root, entry)
+            gmeta = os.path.join(gdir, "meta")
+            if not os.path.exists(os.path.join(gmeta, "_SUCCESS")):
+                continue
+            tier_postings.append(spark.read.parquet(os.path.join(gdir, "postings")))
+            tier_docs.append(spark.read.parquet(os.path.join(gdir, "docs")))
+            metas.extend(spark.read.parquet(gmeta).collect())
+    if os.path.isdir(os.path.join(droot, "meta")):
+        promoted = _promoted_batches(spark, index_dir)
+        live = [
+            m
+            for m in spark.read.parquet(os.path.join(droot, "meta")).collect()
+            if int(m["batch_id"]) not in promoted
+        ]
+        if live:
+            flt = F.col("batch").isin([int(m["batch_id"]) for m in live])
+            tier_postings.append(
+                spark.read.parquet(os.path.join(droot, "postings")).where(flt)
+            )
+            tier_docs.append(
+                spark.read.parquet(os.path.join(droot, "docs")).where(flt)
+            )
+            metas.extend(live)
+    if not tier_postings:
         return index
-    delta_postings = spark.read.parquet(os.path.join(droot, "postings"))
-    delta_docs = spark.read.parquet(os.path.join(droot, "docs")).drop("batch")
-    metas = spark.read.parquet(os.path.join(droot, "meta")).collect()
 
     n_merge = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base_postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    merged = (
-        base_postings.unionByName(
-            delta_postings.select(base_postings.columns), allowMissingColumns=False
-        )
-        .repartitionByRange(n_merge, "field", "term", "doc_base")
-        .sortWithinPartitions("field", "term", "doc_base")
-    )
+    merged = base_postings
+    for tp in tier_postings:
+        merged = merged.unionByName(tp.select(base_postings.columns))
+    merged = merged.repartitionByRange(
+        n_merge, "field", "term", "doc_base"
+    ).sortWithinPartitions("field", "term", "doc_base")
     merged.write.mode("overwrite").parquet(os.path.join(index_dir, "postings_new"))
     td = (
         spark.read.parquet(os.path.join(index_dir, "postings_new"))
@@ -271,9 +416,10 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
         os.path.join(index_dir, "term_dict_fc_new"),
     )
     base_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    base_docs.unionByName(delta_docs.select(base_docs.columns)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "docs_new"))
+    all_docs = base_docs
+    for td_ in tier_docs:
+        all_docs = all_docs.unionByName(td_.select(base_docs.columns))
+    all_docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_new"))
 
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
@@ -287,9 +433,15 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
         json.dump(stats, fh)
 
     # point of no return: from here the staged tables are authoritative
+    merged_ids: set[int] = set()
+    for m in metas:  # delta metas carry batch_id; gen metas a batch_ids list
+        if "batch_id" in m.__fields__:
+            merged_ids.add(int(m["batch_id"]))
+        else:
+            merged_ids.update(json.loads(m["batch_ids"]))
     marker = os.path.join(index_dir, _MERGE_MARKER)
     with open(marker + ".tmp", "w") as fh:
-        json.dump({"merged_batch_ids": sorted(int(m["batch_id"]) for m in metas)}, fh)
+        json.dump({"merged_batch_ids": sorted(merged_ids)}, fh)
     os.rename(marker + ".tmp", marker)
     _finish_merge_swap(index_dir)
     return load_index(spark, index_dir)

@@ -470,6 +470,107 @@ def test_read_transcripts_seam(spark, transcripts_df, tmp_path_factory):
         read_transcripts(spark, bad)
 
 
+# -------------------------------------------- generation-tiered merges
+
+
+def test_promote_delta_generations(spark, tmp_path_factory):
+    """LSM tiering: promote seals delta batches into compact generations
+    at O(delta) cost; queries see base+gens+live delta; the full merge
+    absorbs everything exactly once."""
+    import lucene_spark.streaming.incremental as inc
+    from lucene_spark.index.builder import load_index
+
+    d = str(tmp_path_factory.mktemp("gens"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    base_rows = [("c0", i, "user", f"base doc {i} alpha", None, None) for i in range(6)]
+    cfg = IndexConfig(field_policy={"text": "text", "role": "keyword"}, seg_size=4)
+    ix = build_index(spark, spark.createDataFrame(base_rows, schema), d, cfg)
+    w = inc.IncrementalIndexWriter(d, cfg)
+    w.process_batch(
+        spark.createDataFrame(
+            [("c8", i, "user", f"first beta {i}", None, None) for i in range(3)], schema
+        ),
+        0,
+    )
+    w.process_batch(
+        spark.createDataFrame(
+            [("c9", i, "user", f"second beta {i}", None, None) for i in range(2)], schema
+        ),
+        1,
+    )
+    ix = inc.promote_delta(ix, cfg)
+    assert os.path.isdir(os.path.join(d, "gens", "gen=0"))
+    assert ix.n_docs == 11
+    assert len(SparkSearcher(ix).search("text:beta", k=0).collect()) == 5
+
+    # promote is idempotent — nothing new to seal
+    ix = inc.promote_delta(ix, cfg)
+    assert not os.path.isdir(os.path.join(d, "gens", "gen=1"))
+
+    # a newer batch lands in the live delta alongside the generation
+    w.process_batch(
+        spark.createDataFrame(
+            [("d1", i, "user", f"third beta gamma {i}", None, None) for i in range(4)],
+            schema,
+        ),
+        2,
+    )
+    ix = load_index(spark, d)
+    assert ix.n_docs == 15
+    assert len(SparkSearcher(ix).search("text:beta", k=0).collect()) == 9
+    assert len(SparkSearcher(ix).search("text:gamma", k=0).collect()) == 4
+
+    # second promotion seals only the new batch
+    ix = inc.promote_delta(ix, cfg)
+    assert os.path.isdir(os.path.join(d, "gens", "gen=1"))
+    assert ix.n_docs == 15
+
+    # full merge absorbs base + both generations, no double counting
+    ix = inc.merge_delta(ix, cfg)
+    assert ix.n_docs == 15
+    assert ix.docs.count() == 15
+    assert not os.path.isdir(os.path.join(d, "gens"))
+    assert not os.path.isdir(os.path.join(d, "delta"))
+    assert len(SparkSearcher(ix).search("text:beta", k=0).collect()) == 9
+
+
+def test_maybe_compact_policy(spark, tmp_path_factory):
+    import lucene_spark.streaming.incremental as inc
+
+    d = str(tmp_path_factory.mktemp("policy"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    rows = [("c0", i, "user", f"base {i} alpha", None, None) for i in range(20)]
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=8)
+    ix = build_index(spark, spark.createDataFrame(rows, schema), d, cfg)
+    w = inc.IncrementalIndexWriter(d, cfg)
+    w.process_batch(
+        spark.createDataFrame([("c8", 0, "user", "tiny beta", None, None)], schema), 0
+    )
+    from lucene_spark.index.builder import load_index
+
+    ix = load_index(spark, d)
+    # 1 doc over 20 base docs < 25% → promotes (cheap tier)
+    ix = inc.maybe_compact(ix, cfg)
+    assert os.path.isdir(os.path.join(d, "gens"))
+    w.process_batch(
+        spark.createDataFrame(
+            [("c9", i, "user", f"bulk beta {i}", None, None) for i in range(10)], schema
+        ),
+        1,
+    )
+    ix = load_index(spark, d)
+    # 11 docs ≥ 25% of 20 → full merge
+    ix = inc.maybe_compact(ix, cfg)
+    assert not os.path.isdir(os.path.join(d, "gens"))
+    assert ix.n_docs == 31
+
+
 # ---------------------------------------------- crash-safe delta merge
 
 
