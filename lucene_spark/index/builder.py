@@ -147,11 +147,20 @@ def _emit_len_norm_cols(
         if doc_boost_col and doc_boost_col in pdf.columns
         else np.float64(1.0)
     )
+
+    def field_boost(f: str):
+        # per-(doc, field) boost column ``boost_<f>`` (≙ the reference's
+        # per-Field-instance boost, Document/Field.php:18-113) composed
+        # with the static per-field config boost
+        fb = np.float64(field_boosts.get(f, 1.0))
+        col = f"boost_{f}"
+        if col in pdf.columns:
+            return pdf[col].astype(float).fillna(1.0).to_numpy(np.float64) * fb
+        return fb
+
     for f in text_fields:
         lens = analyzer.count_series(pdf[f])
-        norms = encode_norm_array(
-            length_norm(lens) * doc_boost * field_boosts.get(f, 1.0)
-        )
+        norms = encode_norm_array(length_norm(lens) * doc_boost * field_boost(f))
         # empty tokenized field → not indexed → norm byte 0
         # (reference: DocumentWriter.php:101-104, missing-field norm)
         norms = np.where(lens == 0, 0, norms)
@@ -159,7 +168,7 @@ def _emit_len_norm_cols(
         out[f"norm_{f}"] = norms.astype(np.int32)
     for f in kw_fields:
         present = pdf[f].notna().to_numpy()
-        vals = np.full(len(pdf), field_boosts.get(f, 1.0), np.float64) * doc_boost
+        vals = np.full(len(pdf), 1.0, np.float64) * field_boost(f) * doc_boost
         norms = encode_norm_array(vals)
         out[f"len_{f}"] = present.astype(np.int64)
         out[f"norm_{f}"] = np.where(present, norms, 0).astype(np.int32)

@@ -86,7 +86,15 @@ class PyIndex:
         self._field_order: list[str] = []  # first-seen ≙ .fnm order
 
     # ----------------------------------------------------------- build
-    def add_document(self, fields: dict[str, str], boost: float = 1.0) -> int:
+    def add_document(
+        self,
+        fields: dict[str, str],
+        boost: float = 1.0,
+        field_boosts: dict[str, float] | None = None,
+    ) -> int:
+        """``boost`` ≙ Document.php boost; ``field_boosts`` ≙ the
+        per-Field-INSTANCE boosts of this document (Field.php), composed
+        with the index-wide ``self.field_boosts``."""
         doc_id = self.n_docs
         self.n_docs += 1
         self.stored.append(fields)
@@ -113,6 +121,8 @@ class PyIndex:
             # norm = lengthNorm · docBoost · fieldBoost
             # (DocumentWriter.php:106-109,131-133; keyword lengthNorm(1)=1)
             fb = self.field_boosts.get(name, 1.0)
+            if field_boosts and name in field_boosts:
+                fb = field_boosts[name] * fb
             norm = (length_norm(n) if kind == "text" else 1.0) * boost * fb
             self.norm_bytes.setdefault(name, {})[doc_id] = encode_norm(norm)
         self._sorted_terms_cache.clear()

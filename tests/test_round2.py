@@ -254,6 +254,42 @@ def test_optimize_preserves_boosts(spark, tmp_path_factory):
     assert before == after
 
 
+def test_per_doc_field_boost_columns(spark, tmp_path_factory):
+    """boost_<field> columns ≙ the reference's per-Field-instance boost
+    (Field.php) — composed with config field_boosts and doc boost."""
+    rows = [
+        (0, "alpha beta gamma", 1.0, 2.0),
+        (1, "alpha beta", 1.5, 1.0),
+        (2, "alpha", 1.0, 0.25),
+        (3, "beta gamma delta alpha", 2.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, w double, boost_text double"
+    )
+    d = str(tmp_path_factory.mktemp("fboost"))
+    cfg = IndexConfig(
+        field_policy={"text": "text"},
+        field_boosts={"text": 1.5},
+        doc_boost_col="w",
+        seg_size=2,
+    )
+    ix = build_index(spark, df, d, cfg, order_cols=["doc_id"])
+    model = PyIndex(field_policy={"text": "text"}, field_boosts={"text": 1.5})
+    for _id, text, w, bt in rows:
+        model.add_document({"text": text}, boost=w, field_boosts={"text": bt})
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(ix).search("text:alpha", k=0, score_mode="classic").collect()
+    ]
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in model.find("text:alpha", score_mode="classic")
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
 # ------------------------------------------- pre-sort result_set_limit
 
 
