@@ -106,15 +106,20 @@ def write_dict_blocks(index_or_td, path: str | None = None):
     (field, first_term, n_terms, terms_bin). Accepts a SparkIndex or a
     term_dict DataFrame.
 
-    Scale shape: one mapInPandas pass over the term_dict scan. The
-    term_dict parquet is written range-partitioned + sorted on
-    (field, term), so every Arrow batch is internally sorted and batch
-    ranges are disjoint — blocks are packed per (batch, field) run with
-    no shuffle and no per-field single-task collect (a 10^9-term
-    dictionary packs in parallel; edge batches just yield short blocks,
-    which the decoder handles). The block-key table is the
-    ``.tii``-equivalent upper level: small, range-prunable on
-    (field, first_term), pointing into opaque packed blocks."""
+    Scale shape: one range-repartition + sort of the (field, term)
+    columns, then one mapInPandas pass. The explicit repartitionByRange
+    is NOT optional even for an already-sorted term_dict parquet: Spark
+    packs small files into read partitions ordered by file SIZE, so an
+    Arrow batch could concatenate two disjoint term ranges and a packed
+    block at the seam would OVERLAP other blocks' key ranges — the
+    paging reader (terms_from) assumes disjoint, monotonically keyed
+    blocks and would silently skip terms. After the exchange every
+    batch is sorted and batch/partition ranges are disjoint; blocks pack
+    per (batch, field) run in parallel with no per-field single-task
+    collect (edge batches just yield short blocks, which the decoder
+    handles). The block-key table is the ``.tii``-equivalent upper
+    level: small, range-prunable on (field, first_term), pointing into
+    opaque packed blocks."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
@@ -150,9 +155,14 @@ def write_dict_blocks(index_or_td, path: str | None = None):
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    df = td.select("field", "term").mapInPandas(pack_batches, schema)
+    n = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    df = (
+        td.select("field", "term")
+        .repartitionByRange(n, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .mapInPandas(pack_batches, schema)
+    )
     if path:
-        n = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
         df.repartitionByRange(n, "field", "first_term").sortWithinPartitions(
             "field", "first_term"
         ).write.mode("overwrite").parquet(path)

@@ -142,11 +142,18 @@ def _emit_len_norm_cols(
     """Shared Arrow-kernel body: len_<f> (surviving-token count) and
     norm_<f> (quantized byte of lengthNorm·docBoost·fieldBoost —
     DocumentWriter.php:106-109; keyword lengthNorm(1)=1)."""
-    doc_boost = (
-        pdf[doc_boost_col].astype(float).to_numpy(np.float64)
-        if doc_boost_col and doc_boost_col in pdf.columns
-        else np.float64(1.0)
-    )
+    if doc_boost_col:
+        if doc_boost_col not in pdf.columns:
+            raise ValueError(
+                f"doc_boost_col {doc_boost_col!r} is not a column of the "
+                f"input (have: {sorted(pdf.columns)})"
+            )
+        # null boost → neutral 1.0 (NaN would silently corrupt the norm)
+        doc_boost = (
+            pdf[doc_boost_col].astype(float).fillna(1.0).to_numpy(np.float64)
+        )
+    else:
+        doc_boost = np.float64(1.0)
 
     def field_boost(f: str):
         # per-(doc, field) boost column ``boost_<f>`` (≙ the reference's
@@ -667,13 +674,23 @@ def build_index(
     # Resume-chunk span scales with input: each chunk is one serial
     # Spark job (~seconds of scheduling), so cap their count — at 10^12
     # turns the configured span alone would mean ~156k serial jobs. The
-    # scaled span depends only on (input size, config), so the
-    # chunk↔doc-range mapping is stable across resume runs.
-    span = cfg.seg_size * cfg.segments_per_commit
-    n_chunks = int(max_doc // span) + 1
-    if n_chunks > MAX_BUILD_CHUNKS:
-        span *= -(-n_chunks // MAX_BUILD_CHUNKS)  # ceil division
+    # chosen span is PERSISTED (build_plan.json) before any chunk runs
+    # and reused verbatim on resume: re-deriving it could remap done
+    # chunk ids to different doc ranges (e.g. after a config or code
+    # change) and silently skip never-inverted segments.
+    plan_path = os.path.join(index_dir, "build_plan.json")
+    if resume and os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            span = int(json.load(fh)["chunk_span"])
+    else:
+        span = cfg.seg_size * cfg.segments_per_commit
         n_chunks = int(max_doc // span) + 1
+        if n_chunks > MAX_BUILD_CHUNKS:
+            span *= -(-n_chunks // MAX_BUILD_CHUNKS)  # ceil division
+        with open(plan_path + ".tmp", "w") as fh:
+            json.dump({"chunk_span": span}, fh)
+        os.rename(plan_path + ".tmp", plan_path)
+    n_chunks = int(max_doc // span) + 1
     pending = [c for c in range(n_chunks) if c not in done_chunks]
     _mark("seg_plan")
     invert = _invert_segment(cfg)
@@ -840,16 +857,7 @@ class SparkIndex:
         not yet promoted into any generation. Term stats aggregate
         across every tier."""
         spark = self.spark
-        attached_any = False
         promoted: set[int] = set()
-
-        def union_tier(postings_dir, docs_dir, td_dir):
-            nonlocal attached_any
-            d_post = spark.read.parquet(postings_dir)
-            d_docs = spark.read.parquet(docs_dir)
-            d_td = spark.read.parquet(td_dir)
-            return d_post, d_docs, d_td
-
         tiers = []  # (postings, docs, term_dict) DataFrames to union
         gen_root = os.path.join(self.index_dir, "gens")
         if os.path.isdir(gen_root):
@@ -859,10 +867,9 @@ class SparkIndex:
                 if not os.path.exists(os.path.join(gmeta, "_SUCCESS")):
                     continue  # partial generation (crashed promote) — ignored
                 tiers.append(
-                    union_tier(
-                        os.path.join(gdir, "postings"),
-                        os.path.join(gdir, "docs"),
-                        os.path.join(gdir, "term_dict"),
+                    tuple(
+                        spark.read.parquet(os.path.join(gdir, sub))
+                        for sub in ("postings", "docs", "term_dict")
                     )
                 )
                 for m in spark.read.parquet(gmeta).collect():

@@ -150,7 +150,12 @@ def rp_lsh_pairs(
     LSH design so the same DuckDB oracle strategy applies verbatim.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None:  # empty input → empty pairs, not a crash
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
+        dim = len(head[0])
     v = _as_double(F.col(vec_col))
     bits = [
         (

@@ -908,8 +908,12 @@ WAND_BUCKET = 2048  # docs per cross-term bound bucket (~16 blocks):
 
 
 def _wand_terms(q: Query) -> list[tuple[Term, float]] | None:
-    """[(term, boost)] if ``q`` is WAND-servable: a single term or a
-    pure disjunction (MultiTerm with every sign optional)."""
+    """[(unique term, summed boost)] if ``q`` is WAND-servable: a single
+    term or a pure disjunction (MultiTerm with every sign optional).
+    Duplicate terms are merged by SUMMING their boosts — topk_wand's
+    per-(field, term) weight lookup could otherwise under-bound a
+    duplicated term (weight counted once in ub, twice in scoring) and
+    prune blocks that still hold true top-k docs."""
     if isinstance(q, TermQuery):
         return [(q.term, q.boost)]
     if (
@@ -917,7 +921,11 @@ def _wand_terms(q: Query) -> list[tuple[Term, float]] | None:
         and q.signs is not None
         and all(s is None for s in q.signs)
     ):
-        return [(t, q.boost) for t in q.terms]
+        merged: dict[tuple[str, str], list] = {}
+        for t in q.terms:
+            e = merged.setdefault((t.field, t.text), [t, 0.0])
+            e[1] += q.boost
+        return [(t, b) for t, b in merged.values()]
     return None
 
 

@@ -178,13 +178,25 @@ _MERGE_TABLES = ("postings", "term_dict", "term_dict_fc", "docs")
 
 def _finish_merge_swap(index_dir: str) -> None:
     """Complete a committed merge: swap every staged ``<name>_new`` dir
-    into place, install stats, drop the delta. Idempotent — each step
-    guards on what already happened, so a crash anywhere inside the
-    swap is repaired by calling this again (the marker written by
-    :func:`merge_delta` is the point of no return)."""
+    into place, install stats, drop ONLY the tiers the merge absorbed.
+    Idempotent — each step guards on what already happened, so a crash
+    anywhere inside the swap is repaired by calling this again (the
+    marker written by :func:`merge_delta` is the point of no return).
+
+    Tier cleanup is SCOPED to the marker's ``merged_batch_ids``: a
+    restarted streaming writer may have appended new micro-batches
+    between the commit marker and this swap — those were not in the
+    staged tables and must survive."""
     import shutil
 
     marker = os.path.join(index_dir, _MERGE_MARKER)
+    merged_ids: set[int] | None = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                merged_ids = set(json.load(fh).get("merged_batch_ids") or [])
+        except (OSError, ValueError):
+            merged_ids = None
     for name in _MERGE_TABLES:
         new = os.path.join(index_dir, name + "_new")
         if os.path.isdir(new):
@@ -195,12 +207,48 @@ def _finish_merge_swap(index_dir: str) -> None:
     stats_new = os.path.join(index_dir, "stats_new.json")
     if os.path.exists(stats_new):
         os.rename(stats_new, os.path.join(index_dir, "stats.json"))  # atomic
+
     droot = os.path.join(index_dir, DELTA_DIR)
     if os.path.isdir(droot):
-        shutil.rmtree(droot)
+        if merged_ids is None:
+            shutil.rmtree(droot)
+        else:
+            for sub in ("docs", "postings", "term_dict", "meta"):
+                root = os.path.join(droot, sub)
+                if not os.path.isdir(root):
+                    continue
+                for entry in os.listdir(root):
+                    if (
+                        entry.startswith("batch=")
+                        and int(entry.split("=", 1)[1]) in merged_ids
+                    ):
+                        shutil.rmtree(os.path.join(root, entry))
+            meta_root = os.path.join(droot, "meta")
+            leftover = os.path.isdir(meta_root) and any(
+                e.startswith("batch=") for e in os.listdir(meta_root)
+            )
+            if not leftover:
+                shutil.rmtree(droot)
     gen_root = os.path.join(index_dir, "gens")
     if os.path.isdir(gen_root):
-        shutil.rmtree(gen_root)
+        for entry in list(os.listdir(gen_root)):
+            gdir = os.path.join(gen_root, entry)
+            gmeta = os.path.join(gdir, "meta")
+            if not os.path.exists(os.path.join(gmeta, "_SUCCESS")):
+                shutil.rmtree(gdir)  # crashed promote — garbage either way
+                continue
+            if merged_ids is None:
+                shutil.rmtree(gdir)
+                continue
+            import pandas as _pd
+
+            gen_batches: set[int] = set()
+            for m in _pd.read_parquet(gmeta)["batch_ids"]:
+                gen_batches.update(json.loads(m))
+            if gen_batches <= merged_ids:
+                shutil.rmtree(gdir)
+        if not os.listdir(gen_root):
+            shutil.rmtree(gen_root)
     if os.path.exists(marker):
         os.remove(marker)
 
@@ -258,12 +306,19 @@ def promote_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkInd
         return index
     batches = [int(m["batch_id"]) for m in metas]
     gen_root = os.path.join(index_dir, "gens")
+    # next id counts only DURABLE generations (meta present); a
+    # meta-less dir is a crashed promote — reclaim it by overwriting
     existing = [
         int(e.split("=", 1)[1])
         for e in (os.listdir(gen_root) if os.path.isdir(gen_root) else [])
         if e.startswith("gen=")
+        and os.path.exists(os.path.join(gen_root, e, "meta", "_SUCCESS"))
     ]
     gdir = os.path.join(gen_root, f"gen={max(existing, default=-1) + 1}")
+    if os.path.isdir(gdir):  # orphan from a crashed promote
+        import shutil
+
+        shutil.rmtree(gdir)
     flt = F.col("batch").isin(batches)
     n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
     (
@@ -409,10 +464,10 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
     td.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict_new"))
     from lucene_spark.codec.frontcode import write_dict_blocks
 
+    # write_dict_blocks re-sorts its input itself (ordering is its own
+    # correctness requirement)
     write_dict_blocks(
-        spark.read.parquet(os.path.join(index_dir, "term_dict_new"))
-        .repartitionByRange(n_merge, "field", "term")
-        .sortWithinPartitions("field", "term"),
+        spark.read.parquet(os.path.join(index_dir, "term_dict_new")),
         os.path.join(index_dir, "term_dict_fc_new"),
     )
     base_docs = spark.read.parquet(os.path.join(index_dir, "docs"))

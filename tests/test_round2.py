@@ -315,6 +315,25 @@ def test_result_set_limit_parity(spark_index, model_index, mode, limit):
         assert g[1] == pytest.approx(w[1], abs=1e-6)
 
 
+def test_duplicate_query_term_wand_parity(spark_index, model_index):
+    """Duplicated terms through the WAND path: the block bound must
+    carry the SUMMED weight or pruning drops true top-k docs."""
+    q = "text:spark text:spark"
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SparkSearcher(spark_index)
+        .search(q, k=10, score_mode="bm25", pruning="force")
+        .collect()
+    ]
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in model_index.find(q, score_mode="bm25")
+    ][:10]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
 @pytest.mark.parametrize("mode", ["bm25", "classic"])
 def test_duplicate_query_term_parity(spark_index, model_index, mode):
     """'+spark +spark' — duplicate required terms must intersect (not
@@ -656,3 +675,69 @@ def test_merge_delta_crash_recovery(spark, tmp_path_factory):
     # re-running merge on the recovered index is a no-op
     ix3 = inc.merge_delta(ix2, cfg)
     assert ix3.n_docs == 10 and ix3.docs.count() == 10
+
+
+def test_merge_recovery_preserves_post_crash_batches(spark, tmp_path_factory):
+    """Batches appended BETWEEN the merge commit marker and the swap
+    (restarted streaming writer) must survive recovery — cleanup is
+    scoped to the marker's merged_batch_ids."""
+    import lucene_spark.streaming.incremental as inc
+    from lucene_spark.index.builder import load_index
+
+    d = str(tmp_path_factory.mktemp("scoped"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    base_rows = [("c0", i, "user", f"base {i} alpha", None, None) for i in range(4)]
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=4)
+    ix = build_index(spark, spark.createDataFrame(base_rows, schema), d, cfg)
+    w = inc.IncrementalIndexWriter(d, cfg)
+    w.process_batch(
+        spark.createDataFrame([("c8", 0, "user", "merged beta", None, None)], schema), 0
+    )
+
+    real_swap = inc._finish_merge_swap
+    inc._finish_merge_swap = lambda p: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        with pytest.raises(RuntimeError, match="crash"):
+            inc.merge_delta(ix, cfg)
+    finally:
+        inc._finish_merge_swap = real_swap
+    # a restarted writer appends a NEW batch after the commit marker
+    w.process_batch(
+        spark.createDataFrame([("c9", 0, "user", "late gamma", None, None)], schema), 1
+    )
+    ix2 = load_index(spark, d)  # recovery completes the committed merge
+    assert ix2.n_docs == 6  # base 4 + merged 1 + surviving late 1
+    assert len(SparkSearcher(ix2).search("text:gamma", k=0).collect()) == 1
+    assert len(SparkSearcher(ix2).search("text:beta", k=0).collect()) == 1
+    # the late batch is still in delta, mergeable later
+    ix3 = inc.merge_delta(ix2, cfg)
+    assert ix3.n_docs == 6 and ix3.docs.count() == 6
+    assert not os.path.isdir(os.path.join(d, "delta"))
+
+
+def test_promote_reclaims_orphan_gen_dir(spark, tmp_path_factory):
+    import lucene_spark.streaming.incremental as inc
+
+    d = str(tmp_path_factory.mktemp("orphan"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    rows = [("c0", i, "user", f"base {i} alpha", None, None) for i in range(4)]
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=4)
+    ix = build_index(spark, spark.createDataFrame(rows, schema), d, cfg)
+    # fake a crashed promote: gen dir without durable meta
+    os.makedirs(os.path.join(d, "gens", "gen=0", "postings"), exist_ok=True)
+    inc.IncrementalIndexWriter(d, cfg).process_batch(
+        spark.createDataFrame([("c8", 0, "user", "new beta", None, None)], schema), 0
+    )
+    from lucene_spark.index.builder import load_index
+
+    ix = inc.promote_delta(load_index(spark, d), cfg)
+    # the orphan slot was reclaimed (overwritten), not numbered past
+    assert os.path.exists(os.path.join(d, "gens", "gen=0", "meta", "_SUCCESS"))
+    assert not os.path.isdir(os.path.join(d, "gens", "gen=1"))
+    assert len(SparkSearcher(ix).search("text:beta", k=0).collect()) == 1
