@@ -110,7 +110,7 @@ def main() -> None:
         runs = []
         for _ in range(reps):
             t0 = time.time()
-            topk_term_pruned(ix, Term("table", "text"), k=10)
+            topk_term_pruned(ix, Term("table", "text"), k=10, collect_stats=False)
             runs.append(time.time() - t0)
         timings["q_wand_term"] = round(statistics.median(runs), 3)
 

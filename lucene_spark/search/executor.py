@@ -1106,11 +1106,13 @@ def topk_wand(
 
 
 def topk_term_pruned(
-    index: SparkIndex, term: Term, k: int = 10
+    index: SparkIndex, term: Term, k: int = 10, collect_stats: bool = True
 ) -> tuple[list, dict]:
     """Single-term convenience wrapper over :func:`topk_wand` (kept for
-    bench/gate compatibility): returns (collected top-k rows, stats)."""
+    bench/gate compatibility): returns (collected top-k rows, stats).
+    ``collect_stats=False`` skips the two diagnostic metadata-count
+    jobs — use it when timing the serving path."""
     index.prefetch_terms([term])
     idf = bm25_idf(index.doc_freq(term), index.n_docs)
-    out, stats = topk_wand(index, [term], [idf], k=k, collect_stats=True)
-    return out.collect(), stats
+    out, stats = topk_wand(index, [term], [idf], k=k, collect_stats=collect_stats)
+    return out.collect(), (stats or {})
