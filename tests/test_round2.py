@@ -30,6 +30,9 @@ def wide_vocab_index(spark, tmp_path_factory):
         field_policy={"text": "text"},
         analyzer=Analyzer("[a-zA-Z0-9]+", lowercase=True, name="alnum"),
         seg_size=400,
+        # many dictionary files: exercises the fc packer's ordering
+        # guarantee across file boundaries (size-ordered read packing)
+        merge_partitions=8,
     )
     return build_index(spark, df, d, cfg, order_cols=["doc_id"])
 
