@@ -49,6 +49,7 @@ QUERY_SET = [
     ("q_or", "table spark vector window"),
     ("q_not", "+table -vector"),
     ("q_phrase", '"fast value"'),
+    ("q_phrase_sloppy", '"fast value"~2'),
     ("q_wildcard", "tab*"),
     ("q_range", "text:[order TO spark]"),
 ]
