@@ -1207,7 +1207,11 @@ WHERE {_COS_FOLD.format(a='a.nev', b='b.nev')} >= 0.3
 # random-hyperplane sign bits: weight(p,i) = (md5-int('rp:p:i') % 2001
 # − 1000)/1000, same fold order as the Spark dot — signs match exactly
 _ANN_LSH_SQL = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+v AS (
+    -- zero vectors dropped, mirroring rp_lsh_pairs (no direction)
+    SELECT vec_id, ev FROM v0 WHERE {_NORM_FOLD.format(a='ev')} > 0
+),
 planes AS (
     SELECT p, list_transform(
         range(0, (SELECT len(ev) FROM v LIMIT 1)),

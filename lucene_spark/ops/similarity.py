@@ -156,6 +156,10 @@ def rp_lsh_pairs(
                 [], "id_a long, id_b long, cos double"
             )
         dim = len(head[0])
+    # zero vectors have no direction: they'd all share the all-ones sign
+    # bucket and normalize to NaN cosines (which Spark orders ABOVE any
+    # threshold) — drop them up front, mirrored in the SQL oracle
+    df = df.where(l2norm(_as_double(F.col(vec_col))) > 0)
     v = _as_double(F.col(vec_col))
     bits = [
         (

@@ -307,6 +307,7 @@ class SparkSearcher:
         pruning: str = "off",
         default_operator: str = "OR",
         result_set_limit: int = 0,
+        classic_normalize: bool = True,
     ) -> DataFrame:
         """Parse/compile + execute; returns (doc_id, score) top-k DF.
 
@@ -349,6 +350,7 @@ class SparkSearcher:
             score_mode=score_mode,
             pruning=pruning,
             result_set_limit=result_set_limit,
+            classic_normalize=classic_normalize,
         )
 
     def execute(
@@ -358,6 +360,7 @@ class SparkSearcher:
         score_mode: str = "bm25",
         pruning: str = "off",
         result_set_limit: int = 0,
+        classic_normalize: bool = True,
     ) -> DataFrame:
         """Execute an optimized primitive tree.
 
@@ -438,8 +441,10 @@ class SparkSearcher:
             # stops collecting hits at the limit while iterating
             # matchedDocs (a docId-ordered array)
             out = out.orderBy(F.col("doc_id").asc()).limit(int(result_set_limit))
-        if score_mode == "classic":
-            # top-score normalization when top > 1 (src/Index.php:731-735)
+        if score_mode == "classic" and classic_normalize:
+            # top-score normalization when top > 1 (src/Index.php:731-735);
+            # callers that re-rank across shards (global-stats
+            # MultiSearcher) normalize GLOBALLY instead and pass False
             top = out.agg(F.max("score").alias("m"))
             out = out.crossJoin(F.broadcast(top)).select(
                 "doc_id",

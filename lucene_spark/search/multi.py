@@ -101,11 +101,22 @@ class MultiSearcher:
         With ``global_stats`` every shard scores against the merged
         (df, N, avgdl), making rankings shard-layout-invariant.
         """
+        # classic + global_stats: per-shard top-score normalization would
+        # re-introduce shard dependence (each shard divides by ITS max) —
+        # collect raw scores and normalize once by the GLOBAL max. The
+        # per-shard top-k cut is still safe: normalization is a single
+        # monotone global scale. Default (reference-parity) mode keeps
+        # the per-shard normalization the reference itself exhibits.
+        global_classic = global_stats and score_mode == "classic"
         parts = []
         for ix, off in zip(self.indexes, self.offsets):
             target = _GlobalStatsView(ix, self) if global_stats else ix
             hits = SparkSearcher(target).search(
-                query, k=k, score_mode=score_mode, default_field=default_field
+                query,
+                k=k,
+                score_mode=score_mode,
+                default_field=default_field,
+                classic_normalize=not global_classic,
             )
             parts.append(
                 hits.select(
@@ -113,5 +124,13 @@ class MultiSearcher:
                 )
             )
         un = reduce(lambda a, b: a.unionByName(b), parts)
+        if global_classic:
+            top = un.agg(F.max("score").alias("m"))
+            un = un.crossJoin(F.broadcast(top)).select(
+                "doc_id",
+                F.when(F.col("m") > 1.0, F.col("score") / F.col("m"))
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
         out = un.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         return out.limit(k) if k else out

@@ -31,7 +31,11 @@ def read_transcripts(
     (``cat.db.transcripts`` — anything without a path separator) or a
     parquet directory path. Returns the raw DataFrame; column presence
     is validated against the input contract."""
-    if "/" in source or source.endswith(".parquet"):
+    import os
+
+    # a real filesystem path wins even without a separator (a relative
+    # parquet dir name would otherwise misroute to the catalog)
+    if "/" in source or source.endswith(".parquet") or os.path.exists(source):
         df = spark.read.parquet(source)
     else:
         reader = spark.read

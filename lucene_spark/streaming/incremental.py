@@ -58,8 +58,16 @@ class IncrementalIndexWriter:
             return json.load(fh)["n_docs"]
 
     def _batch_base(self, spark: SparkSession, batch_id: int) -> int:
-        base = self._base_docs(spark)
+        # Order matters for crash-consistency against a concurrent
+        # merge-swap: read the delta METAS first, stats.json second, and
+        # take the max of (stats.n_docs, max(doc_base + n_docs) over
+        # prior batches). The swap installs the new stats BEFORE it
+        # deletes merged batch metas, so whichever side of the swap each
+        # read lands on, one of the two sources carries the true
+        # next-free id — a plain stats-then-metas sum could read OLD
+        # stats and POST-deletion metas and hand out duplicate doc ids.
         meta_root = _delta(self.index_dir, "meta")
+        high_water = 0
         if os.path.isdir(meta_root) and any(
             e.startswith("batch=") for e in os.listdir(meta_root)
         ):
@@ -69,11 +77,15 @@ class IncrementalIndexWriter:
             row = (
                 spark.read.parquet(meta_root)
                 .where(F.col("batch_id") < int(batch_id))
-                .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("s"))
+                .agg(
+                    F.coalesce(
+                        F.max(F.col("doc_base") + F.col("n_docs")), F.lit(0)
+                    ).alias("hw")
+                )
                 .collect()[0]
             )
-            base += int(row["s"])
-        return base
+            high_water = int(row["hw"])
+        return max(self._base_docs(spark), high_water)
 
     # -- the sink ----------------------------------------------------
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
@@ -408,7 +420,10 @@ def merge_delta(index: SparkIndex, cfg: IndexConfig | None = None) -> SparkIndex
     spark = index.spark
     index_dir = index.index_dir
     if recover_merge(index_dir):
-        return load_index(spark, index_dir)
+        # the finished swap may have left LIVE tiers (batches appended
+        # after the crashed merge's marker) — fall through and compact
+        # them too, honoring this call's contract
+        index = load_index(spark, index_dir)
     droot = os.path.join(index_dir, DELTA_DIR)
     gen_root = os.path.join(index_dir, "gens")
     tier_postings = []

@@ -412,19 +412,22 @@ def test_global_stats_multisearcher(spark, transcripts_df, tmp_path_factory):
     ix_m = build_index(spark, transcripts_df, d_m, cfg)
 
     ms = MultiSearcher([ix_a, ix_b])
-    for q in ["text:spark", "text:spark text:index"]:
-        got = [
-            (r["doc_id"], round(r["score"], 9))
-            for r in ms.search(q, k=15, global_stats=True).collect()
-        ]
-        want = [
-            (r["doc_id"], round(r["score"], 9))
-            for r in SparkSearcher(ix_m).search(q, k=15).collect()
-        ]
-        # shards were split in conv order, so shifted ids == merged ids
-        assert [g[0] for g in got] == [w[0] for w in want], q
-        for g, w in zip(got, want):
-            assert g[1] == pytest.approx(w[1], abs=1e-6), (q, g, w)
+    for mode in ("bm25", "classic"):
+        for q in ["text:spark", "text:spark text:index"]:
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ms.search(q, k=15, score_mode=mode, global_stats=True).collect()
+            ]
+            want = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in SparkSearcher(ix_m).search(q, k=15, score_mode=mode).collect()
+            ]
+            # shards were split in conv order, so shifted ids == merged
+            # ids; classic mode additionally checks that top-score
+            # normalization happens GLOBALLY, not per shard
+            assert [g[0] for g in got] == [w[0] for w in want], (mode, q)
+            for g, w in zip(got, want):
+                assert g[1] == pytest.approx(w[1], abs=1e-6), (mode, q, g, w)
 
 
 # --------------------------------------- dense-id fallback on bad input
