@@ -75,6 +75,9 @@ from lucene_spark.codec.varbyte import vb_encode
 
 BLOCK_SIZE = 128  # docs per posting block ≙ reference indexInterval
 # (AbstractSegmentWriter.php:30)
+BLOCK_DOC_RANGE = 8192  # max doc-id span per block: sparse terms split
+# at range boundaries so block-max bounds stay doc-local (see
+# _invert_segment packing comment)
 MAX_BUILD_CHUNKS = 512  # cap on serial resume-chunk jobs in phase A
 
 
@@ -483,7 +486,15 @@ def _invert_segment(cfg: IndexConfig):
                 pos_counts = g_tfs
 
             # block packing: for each term, split its postings into
-            # blocks of <= BLOCK_SIZE docs
+            # blocks of <= BLOCK_SIZE docs, ALSO splitting at
+            # BLOCK_DOC_RANGE doc-id boundaries. The range split is what
+            # makes block metadata LOCAL for sparse terms: 128
+            # consecutive postings of a rare term can span millions of
+            # doc ids, smearing its WAND bound over every cross-term
+            # bucket it touches; capping the doc span keeps bounds (and
+            # conjunction range pruning) aligned to doc locality at the
+            # cost of a few extra metadata rows for sparse terms
+            # (at most one block per occupied range).
             term_change = np.empty(len(g_terms), dtype=bool)
             term_change[0] = True
             term_change[1:] = g_terms[1:] != g_terms[:-1]
@@ -491,8 +502,11 @@ def _invert_segment(cfg: IndexConfig):
             run_lens = np.diff(np.append(term_starts, len(g_terms)))
             idx_in_term = np.arange(len(g_terms)) - np.repeat(term_starts, run_lens)
             block_of = idx_in_term // BLOCK_SIZE
-            blk_change = term_change | (
-                np.diff(np.append(-1, block_of)) != 0
+            range_of = g_docs // BLOCK_DOC_RANGE
+            blk_change = (
+                term_change
+                | (np.diff(np.append(-1, block_of)) != 0)
+                | (np.diff(np.append(range_of[0] - 1, range_of)) != 0)
             )
             blk_ids = np.cumsum(blk_change) - 1
             blk_starts = np.flatnonzero(blk_change)
