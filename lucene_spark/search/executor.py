@@ -267,10 +267,10 @@ def _conjunction_restricted_postings(ix, all_terms, rare):
         lambda a, c: a | c,
         [(F.col("field") == t.field) & (F.col("term") == t.text) for t in all_terms],
     )
-    meta_cols = ["field", "term", "seg_id", "block_id"]
+    meta_cols = ["field", "term", "seg_id", "block_id", "doc_base"]
     keys = (
         ix.postings.where(cond)
-        .select(*meta_cols, "doc_base", "max_docid")
+        .select(*meta_cols, "max_docid")
         .withColumn(
             "_bkt",
             F.explode(
@@ -1006,10 +1006,16 @@ def topk_wand(
             / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl_expr)),
         )
     )
-    meta_cols = ["field", "term", "seg_id", "block_id"]
+    # block identity MUST include doc_base: across streaming tiers a
+    # base segment and a delta segment can share (seg_id, block_id), and
+    # duplicate seed keys would double-decode a block and inflate θ
+    # above every true bound (observed as an empty result). doc_base is
+    # globally unique per (field, term) block — doc ids are disjoint
+    # across tiers.
+    meta_cols = ["field", "term", "seg_id", "block_id", "doc_base"]
     meta = (
         index.postings.where(cond)
-        .select(*meta_cols, "doc_base", "max_docid", "n", "imp_tfs", "imp_dls")
+        .select(*meta_cols, "max_docid", "n", "imp_tfs", "imp_dls")
         .withColumn("_ub", ub)
     )
 
@@ -1049,7 +1055,8 @@ def topk_wand(
         )
     theta = float("-inf")
     keys_df = spark.createDataFrame(
-        seed_keys, "field string, term string, seg_id long, block_id long"
+        seed_keys,
+        "field string, term string, seg_id long, block_id long, doc_base long",
     )
     seed_blocks = index.postings.where(cond).join(F.broadcast(keys_df), meta_cols)
     seed_rows = (

@@ -531,6 +531,44 @@ def test_read_transcripts_seam(spark, transcripts_df, tmp_path_factory):
         read_transcripts(spark, bad)
 
 
+def test_wand_on_delta_attached_index(spark, tmp_path_factory):
+    """The pruned path must stay exact when unmerged streaming tiers are
+    attached (delta blocks carry impact pairs from the same kernel)."""
+    import lucene_spark.streaming.incremental as inc
+    from lucene_spark.index.builder import load_index
+
+    d = str(tmp_path_factory.mktemp("wand_delta"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    base_rows = [
+        ("c0", i, "user", "alpha beta " + "alpha " * (i % 4), None, None)
+        for i in range(40)
+    ]
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=16)
+    ix = build_index(spark, spark.createDataFrame(base_rows, schema), d, cfg)
+    inc.IncrementalIndexWriter(d, cfg).process_batch(
+        spark.createDataFrame(
+            [("c9", i, "user", "alpha gamma alpha alpha", None, None) for i in range(6)],
+            schema,
+        ),
+        0,
+    )
+    ix = load_index(spark, d)
+    s = SparkSearcher(ix)
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.search("text:alpha", k=30, pruning="off").collect()
+    ]
+    pruned = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.search("text:alpha", k=30, pruning="force").collect()
+    ]
+    assert exact == pruned
+    assert any(doc >= 40 for doc, _ in exact)  # delta docs rank in
+
+
 # -------------------------------------------- generation-tiered merges
 
 
