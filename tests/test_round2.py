@@ -569,6 +569,42 @@ def test_wand_on_delta_attached_index(spark, tmp_path_factory):
     assert any(doc >= 40 for doc, _ in exact)  # delta docs rank in
 
 
+def test_range_pruning_on_delta_attached_index(spark, tmp_path_factory, monkeypatch):
+    """Conjunction range pruning must stay exact across streaming tiers
+    (block identity includes doc_base — tiers can share seg/block ids)."""
+    import lucene_spark.search.executor as ex
+    import lucene_spark.streaming.incremental as inc
+    from lucene_spark.index.builder import load_index
+
+    d = str(tmp_path_factory.mktemp("rp_delta"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    base_rows = [("c0", i, "user", f"alpha beta tag{i % 5}", None, None) for i in range(40)]
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=16)
+    ix = build_index(spark, spark.createDataFrame(base_rows, schema), d, cfg)
+    inc.IncrementalIndexWriter(d, cfg).process_batch(
+        spark.createDataFrame(
+            [("c9", i, "user", "alpha tag9 gamma", None, None) for i in range(6)],
+            schema,
+        ),
+        0,
+    )
+    ix = load_index(spark, d)
+    s = SparkSearcher(ix)
+    q = "+text:tag9 +text:alpha"  # tag9 df=6: engages at quantum 1
+    unrestricted = [
+        (r["doc_id"], round(r["score"], 9)) for r in s.search(q, k=0).collect()
+    ]
+    monkeypatch.setattr(ex, "RANGE_PRUNE_QUANTUM", 1)  # force engagement
+    restricted = [
+        (r["doc_id"], round(r["score"], 9)) for r in s.search(q, k=0).collect()
+    ]
+    assert unrestricted == restricted
+    assert any(doc >= 40 for doc, _ in restricted)  # delta docs included
+
+
 # -------------------------------------------- generation-tiered merges
 
 
