@@ -1345,6 +1345,61 @@ FROM documents
 """
 
 
+# --------------------------------------------------------- smp_* queries
+
+
+def _smp_split(spark, sf_dir):
+    """Deterministic train/val/test split by hashed doc_id — stable
+    under re-runs, partitioning and corpus growth."""
+    from lucene_spark.ops.sampling import hash_split
+
+    out = hash_split(
+        _docs(spark, sf_dir), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select(F.col("id").cast("long").alias("id"), "split")
+
+
+_SMP_SPLIT_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5('split:' || doc_id), 1, 15)) AS BIGINT)
+               % 1000000 AS hv
+    FROM documents
+)
+SELECT doc_id::BIGINT AS id,
+       CASE WHEN hv < 800000 THEN 'train'
+            WHEN hv < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def _smp_stratified(spark, sf_dir):
+    """Per-language stratified downsample over the documents table."""
+    from lucene_spark.ops.sampling import stratified_hash_sample
+
+    out = stratified_hash_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"en": 0.5}, default_fraction=1.0,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"), F.col("lang")
+    )
+
+
+_SMP_STRAT_SQL = """
+WITH h AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5('strat:' || doc_id), 1, 15)) AS BIGINT)
+               % 1000000 AS hv
+    FROM documents
+)
+SELECT doc_id::BIGINT AS id, lang
+FROM h
+WHERE hv < (CASE WHEN lang = 'en' THEN 500000 ELSE 1000000 END)
+"""
+
+
 # --------------------------------------------------------- mm_* queries
 
 
@@ -1465,6 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_counts": _tx_token_counts,
         "tx_fingerprint": _tx_fingerprint,
         "mm_features": _mm_features,
+        "smp_split": _smp_split,
+        "smp_stratified": _smp_stratified,
         "tr_turns": _tr_turns,
     }
 
@@ -1510,5 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_token_counts": _TX_TOKEN_COUNTS_SQL,
         "tx_fingerprint": _TX_FP_SQL,
         "mm_features": _MM_SQL,
+        "smp_split": _SMP_SPLIT_SQL,
+        "smp_stratified": _SMP_STRAT_SQL,
         "tr_turns": _TR_TURNS_SQL,
     }

@@ -28,6 +28,11 @@ from lucene_spark.ops.similarity import (
     ivf_topk,
     rp_lsh_pairs,
 )
+from lucene_spark.ops.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
 from lucene_spark.ops.textstats import (
     fingerprint,
     lang_id,
@@ -36,6 +41,9 @@ from lucene_spark.ops.textstats import (
 )
 
 __all__ = [
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
     "rp_lsh_pairs",
     "exact_dedup",
     "minhash_lsh_pairs",

@@ -509,6 +509,48 @@ def test_rp_lsh_pairs_subset_of_exact(spark):
     assert len(lsh) >= len(exact) // 2
 
 
+# ----------------------------------------------- deterministic sampling
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from lucene_spark.ops.sampling import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in hash_split(df, "doc_id", ratios).collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, "doc_id", ratios).collect()}
+    assert a == b  # reproducible
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # growth stability: ids keep their split when the corpus doubles
+    big = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    c = {r["id"]: r["split"] for r in hash_split(big, "doc_id", ratios).collect()}
+    assert all(c[i] == s for i, s in a.items())
+    # sample ⊆ population, deterministic, disjoint under different salts
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    assert s1 == s2 and abs(len(s1) / 2000 - 0.2) < 0.05
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.0})
+
+
+def test_stratified_hash_sample_fractions(spark):
+    from lucene_spark.ops.sampling import stratified_hash_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.25}, default_fraction=1.0
+    ).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    assert de == 2000  # unlisted stratum kept whole
+    assert abs(en / 2000 - 0.25) < 0.05
+
+
 # --------------------------------------------------- input table seam
 
 
