@@ -1400,6 +1400,48 @@ WHERE hv < (CASE WHEN lang = 'en' THEN 500000 ELSE 1000000 END)
 """
 
 
+def _smp_pack(spark, sf_dir):
+    """Concatenate-then-chunk sequence packing: 32 deterministic tapes,
+    512-token context windows over the documents' token counts."""
+    from lucene_spark.ops.packing import pack_sequences
+
+    # Spark's regexp_extract_all defaults the group index to 1 (DuckDB
+    # defaults to 0) — make it explicit
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", budget=512, n_buckets=32)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("win").cast("long").alias("win"),
+    )
+
+
+_SMP_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, len({TOKEN_SQL})::BIGINT AS n,
+           CAST(concat('0x', substr(md5('pack:' || doc_id), 1, 15)) AS BIGINT)
+               % 32 AS bucket
+    FROM documents
+),
+o AS (
+    SELECT doc_id, bucket,
+           coalesce(sum(n) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM t
+)
+SELECT doc_id::BIGINT AS id, bucket::BIGINT AS bucket,
+       off::BIGINT AS start_offset, (off // 512)::BIGINT AS win
+FROM o
+"""
+
+
 # --------------------------------------------------------- mm_* queries
 
 
@@ -1522,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _mm_features,
         "smp_split": _smp_split,
         "smp_stratified": _smp_stratified,
+        "smp_pack": _smp_pack,
         "tr_turns": _tr_turns,
     }
 
@@ -1569,5 +1612,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": _MM_SQL,
         "smp_split": _SMP_SPLIT_SQL,
         "smp_stratified": _SMP_STRAT_SQL,
+        "smp_pack": _SMP_PACK_SQL,
         "tr_turns": _TR_TURNS_SQL,
     }

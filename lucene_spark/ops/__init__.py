@@ -28,6 +28,7 @@ from lucene_spark.ops.similarity import (
     ivf_topk,
     rp_lsh_pairs,
 )
+from lucene_spark.ops.packing import pack_sequences
 from lucene_spark.ops.sampling import (
     hash_sample,
     hash_split,
@@ -41,6 +42,7 @@ from lucene_spark.ops.textstats import (
 )
 
 __all__ = [
+    "pack_sequences",
     "hash_sample",
     "hash_split",
     "stratified_hash_sample",

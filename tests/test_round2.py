@@ -551,6 +551,29 @@ def test_stratified_hash_sample_fractions(spark):
     assert abs(en / 2000 - 0.25) < 0.05
 
 
+def test_pack_sequences_tape_invariants(spark):
+    from lucene_spark.ops.packing import pack_sequences
+
+    rows = [(i, 10 + (i % 7) * 30) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", "n", budget=256, n_buckets=8).collect()
+    n_of = dict(rows)
+    per_bucket: dict[int, list] = {}
+    for r in out:
+        per_bucket.setdefault(r["bucket"], []).append(r)
+    assert sum(len(v) for v in per_bucket.values()) == 500
+    for rows_b in per_bucket.values():
+        rows_b.sort(key=lambda r: r["id"])
+        off = 0
+        for r in rows_b:
+            # head-to-tail tape: each doc starts where the previous ended
+            assert r["start_offset"] == off
+            assert r["win"] == off // 256
+            off += n_of[r["id"]]
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n", budget=0)
+
+
 # --------------------------------------------------- input table seam
 
 
