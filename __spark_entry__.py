@@ -339,19 +339,42 @@ def _ft_phrase_sloppy(spark, sf_dir):
     return _searched(spark, sf_dir, '"fast value"~2')
 
 
+def _rounded_topk(spark, rows_fn, k: int = TOPK) -> DataFrame:
+    """Re-rank a full-precision candidate margin on 6-decimal ROUNDED
+    scores (the oracle's ordering), WIDENING the margin until the
+    rounded kth score strictly exceeds the last candidate's rounded
+    score or the engine runs out of candidates. A fixed margin can
+    flake when more than margin docs share one rounded score spanning
+    the k cut; the exit test is sound because rounding is monotone —
+    every unfetched doc's full-precision score is ≤ the last fetched
+    one's, so its rounded score is ≤ ranked[-1] < ranked[k-1]."""
+    m = 5 * k
+    while True:
+        rows = rows_fn(m)
+        ranked = sorted(
+            ((int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )
+        if (
+            len(rows) < m
+            or len(ranked) <= k
+            or ranked[k - 1][1] > ranked[-1][1]
+        ):
+            return spark.createDataFrame(
+                ranked[:k], "doc_id long, score double"
+            )
+        m *= 4
+
+
 def _ft_wand(spark, sf_dir):
     """Distributed block-max single-term top-k. The pruned path is
     provably exact, so it carries the SAME oracle as ft_term_topk —
     the hash match is the exactness proof the driver can check."""
     ix = _index_for(spark, sf_dir)
-    # fetch a margin past TOPK, then re-rank on ROUNDED scores like the
-    # oracle does (absorbs last-ulp boundary ties at the k cut)
-    rows, _stats = topk_term_pruned(ix, Term("table", "text"), k=5 * TOPK)
-    ranked = sorted(
-        ((int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows),
-        key=lambda x: (-x[1], x[0]),
-    )[:TOPK]
-    return ix.spark.createDataFrame(ranked, "doc_id long, score double")
+    return _rounded_topk(
+        spark,
+        lambda m: topk_term_pruned(ix, Term("table", "text"), k=m)[0],
+    )
 
 
 def _ft_wand_or(spark, sf_dir):
@@ -359,15 +382,14 @@ def _ft_wand_or(spark, sf_dir):
     cross-term bounds, metadata-only aggregation) — exactness proven
     against the same oracle as ft_bool_or."""
     ix = _index_for(spark, sf_dir)
-    out = SparkSearcher(ix).search(
-        "table spark vector", k=5 * TOPK, score_mode="bm25",
-        default_field="text", pruning="force",
+    searcher = SparkSearcher(ix)
+    return _rounded_topk(
+        spark,
+        lambda m: searcher.search(
+            "table spark vector", k=m, score_mode="bm25",
+            default_field="text", pruning="force",
+        ).collect(),
     )
-    out = out.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
-    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
 
 
 def _ft_and_default(spark, sf_dir):

@@ -590,6 +590,38 @@ def _docs_with_lengths(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return df.mapInPandas(add_lens, schema)
 
 
+def _resolve_chunk_span(
+    index_dir: str,
+    cfg: IndexConfig,
+    max_doc: int,
+    done_chunks: set[int],
+    resume: bool,
+) -> int:
+    """Pick (and persist) the phase-A resume-chunk span in docs.
+
+    The span is PERSISTED (build_plan.json) before any chunk runs and
+    reused verbatim on resume: re-deriving it could remap done chunk
+    ids to different doc ranges (e.g. after a config or code change)
+    and silently skip never-inverted segments. The MAX_BUILD_CHUNKS cap
+    applies only to FRESH builds — a partial build whose manifests
+    predate build_plan.json ran with the legacy uncapped span, so a
+    plan-less resume with done chunks derives that legacy span (and
+    persists it for subsequent resumes) instead of re-capping.
+    """
+    plan_path = os.path.join(index_dir, "build_plan.json")
+    if resume and os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            return int(json.load(fh)["chunk_span"])
+    span = cfg.seg_size * cfg.segments_per_commit
+    n_chunks = int(max_doc // span) + 1
+    if not done_chunks and n_chunks > MAX_BUILD_CHUNKS:
+        span *= -(-n_chunks // MAX_BUILD_CHUNKS)  # ceil division
+    with open(plan_path + ".tmp", "w") as fh:
+        json.dump({"chunk_span": span}, fh)
+    os.rename(plan_path + ".tmp", plan_path)
+    return span
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -692,18 +724,7 @@ def build_index(
     # and reused verbatim on resume: re-deriving it could remap done
     # chunk ids to different doc ranges (e.g. after a config or code
     # change) and silently skip never-inverted segments.
-    plan_path = os.path.join(index_dir, "build_plan.json")
-    if resume and os.path.exists(plan_path):
-        with open(plan_path) as fh:
-            span = int(json.load(fh)["chunk_span"])
-    else:
-        span = cfg.seg_size * cfg.segments_per_commit
-        n_chunks = int(max_doc // span) + 1
-        if n_chunks > MAX_BUILD_CHUNKS:
-            span *= -(-n_chunks // MAX_BUILD_CHUNKS)  # ceil division
-        with open(plan_path + ".tmp", "w") as fh:
-            json.dump({"chunk_span": span}, fh)
-        os.rename(plan_path + ".tmp", plan_path)
+    span = _resolve_chunk_span(index_dir, cfg, max_doc, done_chunks, resume)
     n_chunks = int(max_doc // span) + 1
     pending = [c for c in range(n_chunks) if c not in done_chunks]
     _mark("seg_plan")

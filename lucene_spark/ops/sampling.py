@@ -30,21 +30,40 @@ def hash_split(
     id_col: str,
     ratios: dict[str, float],
     salt: str = "split",
+    rest_name: str | None = None,
 ) -> DataFrame:
     """Assign every row to a named split (train/val/test…) by hashed id.
 
-    ``ratios`` maps split name → fraction; fractions must sum to ≤ 1
-    (any remainder falls into the LAST split, so {train: .9, val: .1}
-    is exact). Assignment is a pure function of (salt, id): stable
-    under re-runs, re-partitioning, appends — a doc never migrates
-    between splits when the corpus grows, which is the property that
-    keeps eval sets uncontaminated across dataset versions.
+    ``ratios`` maps split name → fraction. Fractions must sum to ~1.0;
+    a shortfall is an error UNLESS ``rest_name`` names an explicit
+    catch-all split for the remainder — silently inflating the last
+    named split (e.g. {train: .8, val: .1} quietly making val 20%)
+    is exactly the kind of eval-set contamination this op exists to
+    prevent. Assignment is a pure function of (salt, id): stable under
+    re-runs, re-partitioning, appends — a doc never migrates between
+    splits when the corpus grows, which is the property that keeps
+    eval sets uncontaminated across dataset versions.
     """
+    for name, r in ratios.items():
+        if not 0 <= r <= 1:
+            raise ValueError(f"ratio for {name!r} must be in [0, 1], got {r}")
     total = sum(ratios.values())
-    if not 0 < total <= 1.0 + 1e-9:
-        raise ValueError(f"ratios must sum to (0, 1], got {total}")
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"ratios must sum to <= 1, got {total}")
+    if rest_name is None:
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(
+                f"ratios sum to {total}, not 1.0 — name the remainder "
+                f"explicitly via rest_name to allocate the other "
+                f"{1.0 - total:.6g} instead of silently inflating the "
+                f"last split"
+            )
+        names = list(ratios)
+    else:
+        if rest_name in ratios:
+            raise ValueError(f"rest_name {rest_name!r} is already a ratio key")
+        names = list(ratios) + [rest_name]
     h = _unit_hash(id_col, salt)
-    names = list(ratios)
     expr = None
     acc = 0.0
     for name in names[:-1]:

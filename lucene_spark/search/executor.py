@@ -849,6 +849,14 @@ class SparkSearcher:
                         out[int(r)] = sloppy_phrase_freq(positions, offsets, slop)
                 return pd.Series(out)
 
+        # exactly ONE ArrowEvalPython per phrase plan: Catalyst pushes
+        # the freq>0 filter below the score projection and would
+        # otherwise instantiate the UDF twice (once under the filter,
+        # once for the score) — every phrase query then pays the Python
+        # kernel twice on all candidate rows. Marking the UDF
+        # nondeterministic forbids that duplication/pushdown; the result
+        # is unchanged (the kernel is pure), asserted in test_plans.py.
+        freq_udf = freq_udf.asNondeterministic()
         joined = grouped.withColumn(
             "freq", freq_udf(*[F.col(f"_q{j}") for j in range(n_uniq)])
         ).where(F.col("freq") > 0)

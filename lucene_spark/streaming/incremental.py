@@ -74,17 +74,24 @@ class IncrementalIndexWriter:
             # ONE filtered read of the whole meta dir (tiny rows), not a
             # per-batch collect loop — keeps the driver cost O(B) total
             # over a stream's life instead of O(B^2)
-            row = (
-                spark.read.parquet(meta_root)
-                .where(F.col("batch_id") < int(batch_id))
-                .agg(
-                    F.coalesce(
-                        F.max(F.col("doc_base") + F.col("n_docs")), F.lit(0)
-                    ).alias("hw")
-                )
-                .collect()[0]
+            metas = spark.read.parquet(meta_root).where(
+                F.col("batch_id") < int(batch_id)
             )
-            high_water = int(row["hw"])
+            if "doc_base" in metas.columns:
+                hw_expr = F.coalesce(
+                    F.max(F.col("doc_base") + F.col("n_docs")), F.lit(0)
+                )
+                base_off = 0
+            else:
+                # pre-doc_base delta format (metas written before the
+                # round-2 writer): batches were stamped contiguously
+                # from the base index's n_docs, so the high-water mark
+                # is base + Σ n_docs over prior batches — degrade to
+                # that instead of failing the meta read on upgrade
+                hw_expr = F.coalesce(F.sum("n_docs"), F.lit(0))
+                base_off = self._base_docs(spark)
+            row = metas.agg(hw_expr.alias("hw")).collect()[0]
+            high_water = base_off + int(row["hw"])
         return max(self._base_docs(spark), high_water)
 
     # -- the sink ----------------------------------------------------

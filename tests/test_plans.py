@@ -41,6 +41,15 @@ def test_phrase_reads_positions_and_only_phrase(searcher, spark_index):
     assert "pos_bin" not in p_bool  # …and only here
 
 
+def test_phrase_single_arrow_eval(searcher):
+    # the freq UDF must appear ONCE in the executed plan — a collapsed
+    # filter+project would evaluate the Python kernel twice per row
+    # (the round-2 double-ArrowEvalPython regression)
+    for q in ('text:"spark index"', 'text:"spark index"~2'):
+        p = _plan(searcher.search(q, k=10))
+        assert p.count("ArrowEvalPython") == 1, q
+
+
 def test_multi_term_single_scan_single_exchange(searcher):
     p = _plan(searcher.search("+text:spark +text:index", k=10))
     # both terms arrive via ONE scan (OR-pushed filter)…

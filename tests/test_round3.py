@@ -1,0 +1,123 @@
+"""Round-3 regression tests: ADVICE.md fixes (boost convention through
+WAND, legacy delta-meta/plan resume, hash_split remainder) and the new
+round-3 operators."""
+
+import json
+import os
+
+import pytest
+
+from lucene_spark.search.executor import SparkSearcher
+from lucene_spark.search.query import MultiTermQuery, Term, TermQuery
+
+
+# ---------------------------------------------------------- ADVICE #1
+# WAND weights are q.boost * idf per unique term; the exact path scores
+# idf * partial per leaf and multiplies the aggregate by q.boost — the
+# two conventions must agree or pruning='force' changes boosted scores.
+
+
+def _ranked(searcher, q, pruning, k=25):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in searcher.search(
+            q, k=k, score_mode="bm25", pruning=pruning
+        ).collect()
+    ]
+
+
+def test_boosted_disjunction_wand_parity(spark_index):
+    q = MultiTermQuery(
+        [Term("spark", "text"), Term("index", "text")], [None, None]
+    )
+    q.boost = 2.5
+    s = SparkSearcher(spark_index)
+    exact = _ranked(s, q, "off")
+    pruned = _ranked(s, q, "force")
+    assert [e[0] for e in exact] == [p[0] for p in pruned]
+    for e, p in zip(exact, pruned):
+        assert e[1] == pytest.approx(p[1], abs=1e-9)
+
+
+def test_boosted_term_wand_parity(spark_index):
+    q = TermQuery(Term("spark", "text"))
+    q.boost = 3.0
+    s = SparkSearcher(spark_index)
+    exact = _ranked(s, q, "off")
+    pruned = _ranked(s, q, "force")
+    assert exact == pruned or all(
+        e[0] == p[0] and e[1] == pytest.approx(p[1], abs=1e-9)
+        for e, p in zip(exact, pruned)
+    )
+
+
+# ---------------------------------------------------------- ADVICE #2
+def test_batch_base_falls_back_without_doc_base(spark, tmp_path):
+    """Delta metas written by the pre-round-2 writer lack doc_base; the
+    writer must degrade to base + Σ n_docs instead of failing."""
+    from lucene_spark.streaming.incremental import IncrementalIndexWriter
+
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    with open(os.path.join(d, "stats.json"), "w") as fh:
+        json.dump({"n_docs": 100}, fh)
+    meta_dir = os.path.join(d, "delta", "meta")
+    for bid, nd in [(0, 7), (1, 5), (9, 99)]:
+        spark.createDataFrame(
+            [(bid, nd)], "batch_id long, n_docs long"
+        ).write.parquet(os.path.join(meta_dir, f"batch={bid}"))
+    w = IncrementalIndexWriter(d)
+    # prior batches 0 and 1 → 100 + 7 + 5 (batch 9 is not prior to 3)
+    assert w._batch_base(spark, 3) == 112
+    assert w._batch_base(spark, 0) == 100
+
+
+# ---------------------------------------------------------- ADVICE #3
+def test_chunk_span_legacy_resume(tmp_path):
+    from lucene_spark.index.builder import (
+        MAX_BUILD_CHUNKS,
+        IndexConfig,
+        _resolve_chunk_span,
+    )
+
+    cfg = IndexConfig(seg_size=1, segments_per_commit=1)
+    max_doc = MAX_BUILD_CHUNKS * 4  # uncapped would need 4x the cap
+    # fresh build: cap applies
+    d1 = str(tmp_path / "fresh")
+    os.makedirs(d1)
+    span = _resolve_chunk_span(d1, cfg, max_doc, set(), resume=True)
+    assert span > 1 and (max_doc // span) + 1 <= MAX_BUILD_CHUNKS
+    # plan persisted and honored on a later resume, even with done work
+    assert _resolve_chunk_span(d1, cfg, max_doc, {0, 1}, resume=True) == span
+    # legacy resume: manifests exist but no build_plan.json → the
+    # ORIGINAL uncapped span (seg_size * segments_per_commit), persisted
+    d2 = str(tmp_path / "legacy")
+    os.makedirs(d2)
+    span2 = _resolve_chunk_span(d2, cfg, max_doc, {0, 1, 2}, resume=True)
+    assert span2 == cfg.seg_size * cfg.segments_per_commit == 1
+    with open(os.path.join(d2, "build_plan.json")) as fh:
+        assert json.load(fh)["chunk_span"] == 1
+
+
+# ---------------------------------------------------------- ADVICE #4
+def test_hash_split_requires_full_allocation(spark):
+    from lucene_spark.ops.sampling import hash_split
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="rest_name"):
+        hash_split(df, "doc_id", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match="rest_name"):
+        hash_split(df, "doc_id", {"train": 0.5})
+    with pytest.raises(ValueError, match="<= 1"):
+        hash_split(df, "doc_id", {"train": 0.8, "val": 0.4})
+    # explicit remainder label: the leftover 10% lands in 'rest'
+    out = hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1}, rest_name="rest"
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "rest"}
+    assert counts["train"] > counts["val"] + counts["rest"]
+    # exact allocation still works without rest_name
+    ok = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert ok.count() == 500
