@@ -392,6 +392,23 @@ def _ft_wand_or(spark, sf_dir):
     )
 
 
+def _ft_wand_and(spark, sf_dir):
+    """Block-max pruning for a required conjunction with a prohibited
+    term (`+table +spark -vector`, the round-3 scale path for hot-AND
+    queries: topk_wand_and — bucket-granular presence + cross-term
+    bounds, θ seeded from exact hits in the best buckets). Exactness
+    proven against the same oracle shape as ft_bool_not."""
+    ix = _index_for(spark, sf_dir)
+    searcher = SparkSearcher(ix)
+    return _rounded_topk(
+        spark,
+        lambda m: searcher.search(
+            "+table +spark -vector", k=m, score_mode="bm25",
+            default_field="text", pruning="force",
+        ).collect(),
+    )
+
+
 def _ft_and_default(spark, sf_dir):
     """'table spark' parsed with default_operator=AND — bare terms
     required (QueryParser::setDefaultOperator(B_AND)); same oracle as
@@ -533,6 +550,11 @@ _FT_AND_SQL = _sum_topk_sql(
 _FT_OR_SQL = _sum_topk_sql("term IN ('table','spark','vector')")
 _FT_NOT_SQL = _sum_topk_sql(
     "term = 'table'", required=["table"], prohibited=["vector"]
+)
+_FT_WAND_AND_SQL = _sum_topk_sql(
+    "term IN ('table','spark')",
+    required=["table", "spark"],
+    prohibited=["vector"],
 )
 _FT_WILDCARD_SQL = _sum_topk_sql("term LIKE 'tab%'")
 _FT_RANGE_SQL = _sum_topk_sql("term >= 'order' AND term <= 'spark'")
@@ -1562,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_transcripts_bool": _ft_transcripts_bool,
         "ft_wand_topk": _ft_wand,
         "ft_wand_or": _ft_wand_or,
+        "ft_wand_and": _ft_wand_and,
         "ft_and_default": _ft_and_default,
         "ft_presort_limit": _ft_presort_limit,
         "ft_boosted_classic": _ft_boosted_classic,
@@ -1609,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         # oracles and the driver hash-checks the exactness claim
         "ft_wand_topk": _FT_TERM_SQL,
         "ft_wand_or": _FT_OR_SQL,
+        "ft_wand_and": _FT_WAND_AND_SQL,
         "ft_and_default": _FT_AND_SQL,
         "ft_phrase_sloppy": _FT_SLOPPY_SQL,
         "ft_presort_limit": _FT_PRESORT_SQL,

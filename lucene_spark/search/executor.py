@@ -410,6 +410,31 @@ class SparkSearcher:
                     ]
                     out, _stats = topk_wand(self.index, terms, weights, k=k)
                     return out
+            else:
+                conj = _wand_and_query(q)
+                if conj is not None:
+                    scorable, pro = conj
+                    terms = [t for t, _m, _r in scorable]
+                    self.index.prefetch_terms(terms + pro)
+                    total_df = sum(self.index.doc_freq(t) for t in terms)
+                    if pruning == "force" or total_df >= AUTO_PRUNING_MIN_DF:
+                        N = self.index.n_docs
+                        # same convention as the exact MultiTerm path:
+                        # per-occurrence idf contributions, whole sum
+                        # scaled once by q.boost
+                        weights = [
+                            q.boost * m * bm25_idf(self.index.doc_freq(t), N)
+                            for t, m, _r in scorable
+                        ]
+                        out, _stats = topk_wand_and(
+                            self.index,
+                            terms,
+                            weights,
+                            [r for _t, _m, r in scorable],
+                            pro,
+                            k=k,
+                        )
+                        return out
         terms = _collect_terms(q)
         self.index.prefetch_terms(terms)
         if score_mode == "classic":
@@ -810,9 +835,13 @@ class SparkSearcher:
             # breaking exact rank parity on near-tied classic scores —
             # parity wins; the prefilter keeps the Python off the fast
             # path.
-            from lucene_spark.search.phrase import sloppy_phrase_freq
+            from lucene_spark.search.phrase import (
+                sloppy_phrase_freq,
+                sloppy_phrase_freq_2slot,
+            )
 
             bias = slop + max(offsets) + 2  # keys stay positive
+            two_slot_delta = offsets[1] - offsets[0] if n_slots == 2 else None
 
             @F.pandas_udf(DoubleType())
             def freq_udf(*pos_cols: pd.Series) -> pd.Series:
@@ -827,12 +856,17 @@ class SparkSearcher:
                         if lens.sum()
                         else np.array([], dtype=np.int64)
                     ).astype(np.int64)
-                    qid_cache[j] = (rows, flat)
+                    # row boundaries into flat: row r's positions are
+                    # flat[bounds[r]:bounds[r+1]] — O(1) slices replace
+                    # the pandas .iloc lookups of the round-2 kernel
+                    bounds = np.zeros(n_rows + 1, dtype=np.int64)
+                    np.cumsum(lens, out=bounds[1:])
+                    qid_cache[j] = (rows, flat, lens, bounds)
                 width = 2 * slop + 1
                 shifts = np.arange(-slop, slop + 1, dtype=np.int64)
                 common = None
                 for i in range(n_slots):
-                    rows, flat = qid_cache[slot_qid[i]]
+                    rows, flat, _lens, _b = qid_cache[slot_qid[i]]
                     starts = flat - offsets[i] + bias
                     keys = (np.repeat(rows, width) << np.int64(32)) | (
                         np.repeat(starts, width) + np.tile(shifts, len(flat))
@@ -840,8 +874,36 @@ class SparkSearcher:
                     keys = np.unique(keys)
                     common = keys if common is None else common[np.isin(common, keys)]
                 out = np.zeros(n_rows, dtype=np.float64)
-                if common is not None and len(common):
-                    for r in np.unique(common >> np.int64(32)):
+                if common is None or not len(common):
+                    return pd.Series(out)
+                rs = np.unique(common >> np.int64(32))
+                # survivors run the quirk-faithful queue semantics. The
+                # dominant 2-slot shape ("a b"~n) is vectorized: docs
+                # with one position per term (the overwhelming majority)
+                # compute in ONE batched expression; multi-position docs
+                # reconstruct the queue's contribution sequence in numpy
+                # (sloppy_phrase_freq_2slot — BIT-identical to the
+                # Python queue, fuzz-asserted in test_properties). No
+                # per-candidate Python runs even on hot-hot term pairs
+                # where most candidates survive the prefilter.
+                if two_slot_delta is not None:
+                    _ra, fa, la, ba = qid_cache[slot_qid[0]]
+                    _rb, fb, lb, bb = qid_cache[slot_qid[1]]
+                    single = rs[(la[rs] == 1) & (lb[rs] == 1)]
+                    if len(single):
+                        d = np.abs(
+                            fb[bb[single]] - fa[ba[single]] - two_slot_delta
+                        )
+                        out[single] = np.where(d <= slop, 1.0 / (d + 1.0), 0.0)
+                    for r in rs[(la[rs] != 1) | (lb[rs] != 1)]:
+                        out[r] = sloppy_phrase_freq_2slot(
+                            fa[ba[r] : ba[r + 1]],
+                            fb[bb[r] : bb[r + 1]],
+                            two_slot_delta,
+                            slop,
+                        )
+                else:
+                    for r in rs:
                         positions = [
                             list(pos_cols[slot_qid[i]].iloc[int(r)])
                             for i in range(n_slots)
@@ -942,6 +1004,84 @@ def _wand_terms(q: Query) -> list[tuple[Term, float]] | None:
     return None
 
 
+# block identity MUST include doc_base: across streaming tiers a base
+# segment and a delta segment can share (seg_id, block_id), and
+# duplicate seed keys would double-decode a block and inflate θ above
+# every true bound (observed as an empty result). doc_base is globally
+# unique per (field, term) block — doc ids are disjoint across tiers.
+_WAND_META_COLS = ["field", "term", "seg_id", "block_id", "doc_base"]
+
+
+def _terms_cond(terms: list[Term]) -> Column:
+    return reduce(
+        lambda a, c: a | c,
+        [(F.col("field") == t.field) & (F.col("term") == t.text) for t in terms],
+    )
+
+
+def _ub_expr(index: SparkIndex, terms: list[Term], weights: list[float]) -> Column:
+    """Block upper bound from the stored Pareto impact pairs: the max of
+    partial(tf_j, dl_j) over the block's non-dominated (tf, dl) docs —
+    exact per-block max impact, far tighter than partial(max_tf,
+    min_dl) which mixes tf and dl of DIFFERENT docs. partial() needs
+    avgdl, so the bound is evaluated lazily here (codegen'd
+    higher-order expression over the tiny arrays, no UDF). Per-term
+    literal lookups are WHEN chains (T = #query terms, tiny)."""
+    k1, b = float(BM25_K1), float(BM25_B)
+    w_expr = F.lit(0.0)
+    avgdl_expr = F.lit(1.0)
+    for t, w in zip(terms, weights):
+        this = (F.col("field") == t.field) & (F.col("term") == t.text)
+        w_expr = F.when(this, F.lit(float(w))).otherwise(w_expr)
+        avgdl_expr = F.when(
+            this, F.lit(float(index.avg_field_len(t.field)))
+        ).otherwise(avgdl_expr)
+    return w_expr * F.array_max(
+        F.zip_with(
+            F.col("imp_tfs").cast("array<double>"),
+            F.col("imp_dls").cast("array<double>"),
+            lambda tf, dl: (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl_expr)),
+        )
+    )
+
+
+def _block_meta(index: SparkIndex, terms: list[Term], weights: list[float]) -> DataFrame:
+    """Metadata-only view of the query terms' posting blocks with the
+    weighted impact upper bound as ``_ub`` (binary streams unread —
+    parquet column pruning)."""
+    return (
+        index.postings.where(_terms_cond(terms))
+        .select(*_WAND_META_COLS, "max_docid", "n", "imp_tfs", "imp_dls")
+        .withColumn("_ub", _ub_expr(index, terms, weights))
+    )
+
+
+def _score_decoded(
+    index: SparkIndex, terms: list[Term], weights: list[float], blocks: DataFrame
+) -> DataFrame:
+    """Decode a block subset and emit (qid, doc_id, _s) weighted BM25
+    partial contributions (one row per posting)."""
+    import types
+
+    k1, b = float(BM25_K1), float(BM25_B)
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    a_arr = F.array(
+        *[F.lit(float(index.avg_field_len(t.field))) for t in terms]
+    )
+    decoded = decode_postings(types.SimpleNamespace(postings=blocks), terms)
+    partial = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") / F.element_at(a_arr, F.col("qid") + 1)
+        )
+    )
+    s = F.element_at(w_arr, F.col("qid") + 1) * partial
+    return decoded.select("qid", "doc_id", s.alias("_s"))
+
+
 def topk_wand(
     index: SparkIndex,
     terms: list[Term],
@@ -980,73 +1120,18 @@ def topk_wand(
     DataFrame (doc_id, score), stats dict when ``collect_stats`` — two
     extra metadata-only count jobs).
     """
-    import types
-
     spark = index.spark
     k = max(int(k), 1)
-    k1, b = float(BM25_K1), float(BM25_B)
     empty = spark.createDataFrame([], "doc_id long, score double")
 
-    cond = reduce(
-        lambda a, c: a | c,
-        [(F.col("field") == t.field) & (F.col("term") == t.text) for t in terms],
-    )
-    # per-term literal lookups as WHEN chains (T = #query terms, tiny)
-    w_expr = F.lit(0.0)
-    avgdl_expr = F.lit(1.0)
-    for t, w in zip(terms, weights):
-        this = (F.col("field") == t.field) & (F.col("term") == t.text)
-        w_expr = F.when(this, F.lit(float(w))).otherwise(w_expr)
-        avgdl_expr = F.when(
-            this, F.lit(float(index.avg_field_len(t.field)))
-        ).otherwise(avgdl_expr)
-    # block upper bound from the stored Pareto impact pairs: the max of
-    # partial(tf_j, dl_j) over the block's non-dominated (tf, dl) docs —
-    # exact per-block max impact, far tighter than partial(max_tf,
-    # min_dl) which mixes tf and dl of DIFFERENT docs. partial() needs
-    # avgdl, so the bound is evaluated lazily here (codegen'd
-    # higher-order expression over the tiny arrays, no UDF).
-    ub = w_expr * F.array_max(
-        F.zip_with(
-            F.col("imp_tfs").cast("array<double>"),
-            F.col("imp_dls").cast("array<double>"),
-            lambda tf, dl: (tf * F.lit(k1 + 1.0))
-            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl_expr)),
-        )
-    )
-    # block identity MUST include doc_base: across streaming tiers a
-    # base segment and a delta segment can share (seg_id, block_id), and
-    # duplicate seed keys would double-decode a block and inflate θ
-    # above every true bound (observed as an empty result). doc_base is
-    # globally unique per (field, term) block — doc ids are disjoint
-    # across tiers.
-    meta_cols = ["field", "term", "seg_id", "block_id", "doc_base"]
-    meta = (
-        index.postings.where(cond)
-        .select(*meta_cols, "max_docid", "n", "imp_tfs", "imp_dls")
-        .withColumn("_ub", ub)
-    )
-
-    avgdls = [index.avg_field_len(t.field) for t in terms]
-    w_arr = F.array(*[F.lit(float(w)) for w in weights])
-    a_arr = F.array(*[F.lit(float(a)) for a in avgdls])
+    cond = _terms_cond(terms)
+    meta_cols = _WAND_META_COLS
+    meta = _block_meta(index, terms, weights)
 
     def score_blocks(blocks: DataFrame) -> DataFrame:
-        decoded = decode_postings(types.SimpleNamespace(postings=blocks), terms)
-        partial = (F.col("tf") * F.lit(k1 + 1.0)) / (
-            F.col("tf")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * F.col("dl") / F.element_at(a_arr, F.col("qid") + 1)
-            )
-        )
-        s = F.element_at(w_arr, F.col("qid") + 1) * partial
-        return (
-            decoded.select("doc_id", s.alias("_s"))
-            .groupBy("doc_id")
-            .agg(F.sum("_s").alias("score"))
-        )
+        return _score_decoded(index, terms, weights, blocks).groupBy(
+            "doc_id"
+        ).agg(F.sum("_s").alias("score"))
 
     # round 1: seed θ from the k highest-ub blocks (TakeOrdered — the
     # driver receives ≤ k key rows regardless of term df)
@@ -1085,7 +1170,9 @@ def topk_wand(
     # contribution: provably exact. For a single term the cross-term sum
     # is empty and this collapses to the classic per-block ub ≥ θ.
     if len(terms) == 1:
-        survivors = index.postings.where(cond).where(ub >= F.lit(theta))
+        survivors = index.postings.where(cond).where(
+            _ub_expr(index, terms, weights) >= F.lit(theta)
+        )
     else:
         bmeta = meta.withColumn(
             "_bkt",
@@ -1120,6 +1207,251 @@ def topk_wand(
         stats = {
             "blocks_total": meta.count(),
             "blocks_decoded": survivors.select(*meta_cols).count(),
+            "theta": theta,
+        }
+    return out, stats
+
+
+WAND_AND_SEED_BUCKETS = 8  # initial θ-seed bucket count for conjunction
+# pruning (quadrupled until ≥ k hits are found or buckets run out); kept
+# small — each seed round decodes only the blocks overlapping the chosen
+# buckets, and the later survivor filter does the real pruning
+
+
+def _wand_and_query(q: Query) -> tuple[list[tuple[Term, int, bool]], list[Term]] | None:
+    """(scorable [(unique term, multiplicity, required?)], prohibited
+    terms) if ``q`` is WAND-AND-servable: a MultiTermQuery with at least
+    one REQUIRED term (signs None = pure conjunction). Optional terms
+    ride along in the scoring set; prohibited terms become the exact
+    anti-join. Multiplicity folds duplicated scorable terms into one
+    weight (the exact path emits one row per occurrence and sums).
+    Reference semantics anchor: selectivity-ordered required-term
+    intersection, src/Search/Query/MultiTerm.php:333-339."""
+    if not isinstance(q, MultiTermQuery):
+        return None
+    signs = q.signs
+    active = [
+        (t, True if signs is None else signs[i]) for i, t in enumerate(q.terms)
+    ]
+    if not any(s is True for _t, s in active):
+        return None
+    merged: dict[tuple[str, str], list] = {}
+    pro: list[Term] = []
+    pro_seen: set[tuple[str, str]] = set()
+    for t, s in active:
+        key = (t.field, t.text)
+        if s is False:
+            if key not in pro_seen:
+                pro_seen.add(key)
+                pro.append(t)
+            continue
+        e = merged.setdefault(key, [t, 0, False])
+        e[1] += 1
+        if s is True:
+            e[2] = True
+    if any(key in pro_seen for key in merged):
+        return None  # term both scorable and prohibited → exact path
+    scorable = [(t, m, r) for t, m, r in merged.values()]
+    return scorable, pro
+
+
+def _restrict_blocks_to_buckets(index: SparkIndex, terms: list[Term], bkts_df):
+    """Postings view of ``terms`` keeping only blocks whose doc range
+    overlaps a bucket in ``bkts_df`` (metadata-only semi-join)."""
+    import types
+
+    cond = _terms_cond(terms)
+    keys = (
+        index.postings.where(cond)
+        .select(*_WAND_META_COLS, "max_docid")
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
+                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
+                )
+            ),
+        )
+        .join(bkts_df, "_bkt", "leftsemi")
+        .select(*_WAND_META_COLS)
+        .distinct()
+    )
+    return types.SimpleNamespace(
+        postings=index.postings.where(cond).join(keys, _WAND_META_COLS)
+    )
+
+
+def topk_wand_and(
+    index: SparkIndex,
+    terms: list[Term],
+    weights: list[float],
+    required: list[bool],
+    pro_terms: list[Term] | None = None,
+    k: int = 10,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict | None]:
+    """Distributed block-max pruning for REQUIRED conjunctions — the AND
+    analogue of :func:`topk_wand`, the round-3 answer to the one query
+    shape with no sublinear path (`+table +spark -vector` fully decoded
+    three hot terms). Exact BM25 top-k of
+
+        score(doc) = Σ_t weights[t] · partial_t(doc)
+
+    over docs containing EVERY term with required[i]=True and NONE of
+    ``pro_terms``. Everything flows through metadata aggregations; the
+    driver sees only ≤ S bucket ids and ≤ k seed rows.
+
+    Doc ids quantize to WAND_BUCKET-sized buckets. Per (bucket, term),
+    bucketmax = max block ub over overlapping blocks. Three exact steps:
+
+    1. PRESENCE: a hit contains every required term, and a doc's
+       postings for term t live in a block overlapping the doc's own
+       bucket — so buckets where some required term has NO overlapping
+       block cannot host hits, and every block confined to such buckets
+       drops before any θ is known (the AND-specific filter).
+    2. θ SEED: rank present buckets by Σ_t bucketmax (the best possible
+       hit score inside), decode ALL scorable blocks overlapping the
+       top S buckets, and compute EXACT hit scores for docs inside them
+       (complete by the step-1 argument; conjunction-checked;
+       prohibited docs removed with a bucket-restricted docs-only
+       decode). These are true hit scores, so θ = kth best ⇒ the true
+       kth best ≥ θ. S quadruples (bounded rounds) while hits < k;
+       θ stays −inf if the corpus has < k hits — no pruning, still
+       exact.
+    3. SURVIVORS: keep block b of term t iff some overlapped PRESENT
+       bucket B has ub_b + Σ_{t'≠t} bucketmax_{t',B} ≥ θ. For a true
+       top-k doc d: its bucket B(d) is present, each of its blocks
+       b_t(d) overlaps B(d), ub ≥ w_t·partial_t(d) and bucketmax ≥
+       every other matched term's contribution (unmatched optional
+       terms contribute 0 ≤ bucketmax), so the kept bound ≥ score(d)
+       ≥ θ (ties included — the filter is ≥) and ALL of d's blocks
+       survive ⇒ its conjunction check passes and its score is exact.
+       A doc that lost a required block cannot pass the conjunction
+       check at all, and a doc that lost an optional block only
+       under-counts a score already provably < θ — so the final
+       TakeOrdered k over survivor hits is the exact top-k.
+    """
+    pro_terms = list(pro_terms or [])
+    spark = index.spark
+    k = max(int(k), 1)
+    req_ids = [i for i, r in enumerate(required) if r]
+    n_req = len(req_ids)
+    if n_req == 0:
+        raise ValueError("topk_wand_and needs at least one required term")
+    Q = WAND_BUCKET
+
+    cond = _terms_cond(terms)
+    meta = _block_meta(index, terms, weights)
+    bmeta = meta.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col("doc_base") / Q).cast("long"),
+                (F.col("max_docid") / Q).cast("long"),
+            )
+        ),
+    )
+    bmax = bmeta.groupBy("_bkt", "field", "term").agg(F.max("_ub").alias("_bmax"))
+    is_req = _terms_cond([terms[i] for i in req_ids])
+    present = (
+        bmax.where(is_req)
+        .groupBy("_bkt")
+        .agg(F.count("*").alias("_np"))
+        .where(F.col("_np") == n_req)
+        .select("_bkt")
+    )
+    # Σ bucketmax over ALL scorable terms, present buckets only (inner
+    # join doubles as the presence filter for everything downstream)
+    bsum = bmax.join(present, "_bkt").groupBy("_bkt").agg(
+        F.sum("_bmax").alias("_bsum")
+    )
+
+    def conjunction_hits(blocks, bkt_ids=None):
+        """(doc_id, score) of EXACT conjunction hits in a decoded block
+        subset; when ``bkt_ids`` is given, only docs in those buckets
+        (whose contributions are provably complete) are kept."""
+        scored = _score_decoded(index, terms, weights, blocks)
+        if bkt_ids is not None:
+            scored = scored.where(
+                (F.col("doc_id") / Q).cast("long").isin([int(x) for x in bkt_ids])
+            )
+        agg = (
+            scored.groupBy("doc_id")
+            .agg(
+                F.sum("_s").alias("score"),
+                F.countDistinct(
+                    F.when(F.col("qid").isin(req_ids), F.col("qid"))
+                ).alias("_mr"),
+            )
+            .where(F.col("_mr") == n_req)
+        )
+        if pro_terms:
+            bkts = (
+                spark.createDataFrame([(int(x),) for x in bkt_ids], "_bkt long")
+                if bkt_ids is not None
+                else present
+            )
+            pro_src = _restrict_blocks_to_buckets(index, pro_terms, bkts)
+            pro_docs = (
+                decode_postings(pro_src, pro_terms, docs_only=True)
+                .select("doc_id")
+                .distinct()
+            )
+            if (
+                sum(index.doc_freq(t) for t in pro_terms)
+                <= PROHIBITED_BROADCAST_MAX_DF
+            ):
+                pro_docs = F.broadcast(pro_docs)
+            agg = agg.join(pro_docs, "doc_id", "left_anti")
+        return agg.select("doc_id", "score")
+
+    # θ seed from the most promising present buckets
+    theta = float("-inf")
+    S = max(WAND_AND_SEED_BUCKETS, 1)
+    for _ in range(4):
+        top_b = bsum.orderBy(F.col("_bsum").desc()).limit(S).collect()
+        bkt_ids = [r["_bkt"] for r in top_b]
+        if not bkt_ids:
+            break
+        seed_df = spark.createDataFrame([(int(x),) for x in bkt_ids], "_bkt long")
+        seed_keys = (
+            bmeta.join(F.broadcast(seed_df), "_bkt", "leftsemi")
+            .select(*_WAND_META_COLS)
+            .distinct()
+        )
+        seed_blocks = index.postings.where(cond).join(seed_keys, _WAND_META_COLS)
+        seed_rows = (
+            conjunction_hits(seed_blocks, bkt_ids)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) >= k:
+            theta = float(seed_rows[k - 1]["score"])
+            break
+        if len(bkt_ids) < S:  # all present buckets examined; < k hits
+            break
+        S *= 4
+
+    keep_keys = (
+        bmeta.join(bmax, ["_bkt", "field", "term"])
+        .join(bsum, "_bkt")
+        .where(F.col("_ub") + (F.col("_bsum") - F.col("_bmax")) >= F.lit(theta))
+        .select(*_WAND_META_COLS)
+        .distinct()
+    )
+    survivors = index.postings.where(cond).join(keep_keys, _WAND_META_COLS)
+    out = (
+        conjunction_hits(survivors)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    stats = None
+    if collect_stats:
+        stats = {
+            "blocks_total": meta.count(),
+            "blocks_decoded": survivors.select(*_WAND_META_COLS).count(),
             "theta": theta,
         }
     return out, stats

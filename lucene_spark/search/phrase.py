@@ -69,6 +69,62 @@ def sloppy_phrase_freq(
     return freq
 
 
+def sloppy_phrase_freq_2slot(pos_a, pos_b, delta: int, slop: int) -> float:
+    """Vectorized 2-slot sloppy frequency, BIT-IDENTICAL to
+    :func:`sloppy_phrase_freq` (fuzz-asserted in test_properties) but
+    with no per-candidate Python: the queue's contribution sequence is
+    reconstructed with numpy and summed with ``np.cumsum`` — a strictly
+    sequential left-to-right float64 accumulation, the same adds in the
+    same order as the reference loop, so even the last-ulp float state
+    matches and rank parity on near-tied scores is preserved.
+
+    Queue structure for two slots (derived from Phrase.php:425-491, the
+    same control flow as sloppy_phrase_freq):
+    - term 0 builds anchors with queue multiplicities w_i: each later
+      position is appended once per snapshot candidate, so
+      w_0 = 1, w_i = 2^(i-1) — queue order [a_0, a_1, a_2 x2, a_3 x4 ..];
+    - term 1's FIRST position b_0 mutates every candidate in place (no
+      window check; contributes only where d = |b_0 - a - delta| <= slop,
+      and skipped candidates add nothing);
+    - each LATER position b_j appends a copy for every snapshot
+      candidate whose ANCHOR is in b_j's window, preserving snapshot
+      order — so segment S_j is the in-window subsequence of
+      S_0 ++ .. ++ S_{j-1}, and every appended candidate contributes
+      1/(d_ij + 1) (the append check is the scoring condition);
+    - for two slots min-shift distance reduces to |b - a - delta|.
+
+    ``pos_a``/``pos_b`` may be any int sequence (numpy arrays pass
+    through without copy); ``delta`` = offsets[1] - offsets[0].
+    """
+    import numpy as np
+
+    A = np.asarray(pos_a, dtype=np.int64)
+    B = np.asarray(pos_b, dtype=np.int64)
+    if A.size == 0 or B.size == 0:
+        return 0.0
+    if A.size > 60:
+        # queue multiplicities 2^(i-1) overflow int64 repeats here; the
+        # reference itself would materialize >2^59 candidates — fall
+        # back to the literal queue (which will be just as infeasible,
+        # preserving semantics rather than silently diverging)
+        return sloppy_phrase_freq([list(A), list(B)], [0, delta], slop)
+    reps = np.ones(A.size, dtype=np.int64)
+    if A.size >= 2:
+        reps[1:] = np.left_shift(np.int64(1), np.arange(A.size - 1, dtype=np.int64))
+    s0 = np.repeat(np.arange(A.size, dtype=np.int64), reps)
+    d = np.abs(B[0] - A - delta)
+    segs = [np.where(d <= slop, 1.0 / (d + 1.0), 0.0)[s0][d[s0] <= slop]]
+    cur = s0
+    for j in range(1, B.size):
+        dj = np.abs(B[j] - A - delta)
+        sel = cur[(dj <= slop)[cur]]
+        if sel.size:
+            segs.append(1.0 / (dj[sel] + 1.0))
+            cur = np.concatenate([cur, sel])
+    contribs = np.concatenate(segs) if segs else np.empty(0)
+    return float(np.cumsum(contribs)[-1]) if contribs.size else 0.0
+
+
 def phrase_freq(
     positions: list[list[int]], offsets: list[int], slop: int
 ) -> float:

@@ -49,6 +49,20 @@ def test_sloppy_closed_form_matches_queue(pa, pb, delta, slop):
     assert abs(want - got) < 1e-9 * max(1.0, abs(want))
 
 
+@settings(max_examples=500, deadline=None)
+@given(pa=positions, pb=positions, delta=st.integers(1, 4), slop=st.integers(0, 5))
+def test_sloppy_2slot_vectorized_bit_identical(pa, pb, delta, slop):
+    """The numpy queue reconstruction must match the Python queue
+    BITWISE (== on floats, not approx): np.cumsum adds the same
+    contributions in the same left-to-right order, so near-tied rank
+    parity survives the vectorization."""
+    from lucene_spark.search.phrase import sloppy_phrase_freq_2slot
+
+    want = sloppy_phrase_freq([pa, pb], [0, delta], slop)
+    got = sloppy_phrase_freq_2slot(np.asarray(pa), np.asarray(pb), delta, slop)
+    assert want == got
+
+
 blocks = st.lists(
     st.tuples(st.integers(1, 50), st.integers(1, 500)), min_size=1, max_size=128
 )

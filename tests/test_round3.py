@@ -51,6 +51,120 @@ def test_boosted_term_wand_parity(spark_index):
     )
 
 
+# ------------------------------------------------- WAND-AND (round 3 #1)
+# Block-max pruning for required conjunctions: pruning='force' on
+# +a +b [-c] queries must return EXACTLY the full-decode result —
+# ids and scores — for every sign mix, k regime, and tier layout.
+
+
+def _assert_and_parity(searcher, q, k):
+    """Exactness up to legitimate tie permutation: near-tied docs sum
+    their 2-3 float contributions in nondeterministic aggregation
+    order on BOTH paths, so raw rank comparison flips at ulp-level
+    ties. Assert instead that (a) the pruned top-k's rounded score
+    multiset equals the exact top-k's, and (b) every pruned doc
+    carries its exact-path score at 1e-9."""
+    full = {
+        r["doc_id"]: r["score"]
+        for r in searcher.search(q, k=0, score_mode="bm25", pruning="off").collect()
+    }
+    pruned = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search(
+            q, k=k, score_mode="bm25", pruning="force"
+        ).collect()
+    ]
+    assert len(pruned) == min(k, len(full))
+    for doc, score in pruned:
+        assert doc in full, f"pruned returned non-hit doc {doc}"
+        assert score == pytest.approx(full[doc], abs=1e-9)
+    exact_topk = sorted((round(s, 9) for s in full.values()), reverse=True)[:k]
+    assert sorted((round(s, 9) for _d, s in pruned), reverse=True) == exact_topk
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "+text:spark +text:index",
+        "+text:spark +text:index -text:vector",
+        "+text:spark +text:index +text:merge",
+        "+text:table -text:vector",
+    ],
+)
+@pytest.mark.parametrize("k", [5, 25, 200])
+def test_wand_and_parity(spark_index, q, k):
+    _assert_and_parity(SparkSearcher(spark_index), q, k)
+
+
+def test_wand_and_mixed_signs_parity(spark_index):
+    """required + optional + prohibited in one MultiTermQuery: optional
+    terms score, the conjunction check only covers the required one."""
+    q = MultiTermQuery(
+        [Term("spark", "text"), Term("index", "text"), Term("vector", "text")],
+        [True, None, False],
+    )
+    _assert_and_parity(SparkSearcher(spark_index), q, 25)
+
+
+def test_wand_and_boosted_parity(spark_index):
+    q = MultiTermQuery(
+        [Term("spark", "text"), Term("index", "text")], [True, True]
+    )
+    q.boost = 2.5
+    _assert_and_parity(SparkSearcher(spark_index), q, 25)
+
+
+def test_wand_and_duplicate_required_term(spark_index):
+    """'+spark +spark index' — the duplicated required term must carry a
+    doubled weight in the bounds or pruning under-bounds it."""
+    q = MultiTermQuery(
+        [Term("spark", "text"), Term("spark", "text"), Term("index", "text")],
+        [True, True, None],
+    )
+    _assert_and_parity(SparkSearcher(spark_index), q, 25)
+
+
+def test_wand_and_on_tiered_index(spark, tmp_path_factory):
+    """Conjunction pruning must stay exact when unmerged streaming tiers
+    are attached (block identity includes doc_base)."""
+    import lucene_spark.streaming.incremental as inc
+    from lucene_spark.index.builder import IndexConfig, build_index, load_index
+
+    d = str(tmp_path_factory.mktemp("wand_and_delta"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    base_rows = [
+        (
+            "c0",
+            i,
+            "user",
+            ("alpha beta " + "alpha " * (i % 4)) + ("gamma " if i % 3 else ""),
+            None,
+            None,
+        )
+        for i in range(40)
+    ]
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=16)
+    build_index(spark, spark.createDataFrame(base_rows, schema), d, cfg)
+    inc.IncrementalIndexWriter(d, cfg).process_batch(
+        spark.createDataFrame(
+            [
+                ("c9", i, "user", "alpha beta alpha beta gamma", None, None)
+                for i in range(6)
+            ],
+            schema,
+        ),
+        0,
+    )
+    ix = load_index(spark, d)
+    s = SparkSearcher(ix)
+    for q in ["+text:alpha +text:beta", "+text:alpha +text:beta -text:gamma"]:
+        _assert_and_parity(s, q, 30)
+    assert any(doc >= 40 for doc, _ in _ranked(s, "+text:alpha +text:beta", "off", k=30))
+
+
 # ---------------------------------------------------------- ADVICE #2
 def test_batch_base_falls_back_without_doc_base(spark, tmp_path):
     """Delta metas written by the pre-round-2 writer lack doc_base; the
