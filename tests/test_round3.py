@@ -235,3 +235,67 @@ def test_hash_split_requires_full_allocation(spark):
     # exact allocation still works without rest_name
     ok = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     assert ok.count() == 500
+
+
+# ----------------------------------------------- docs-phase JVM fast path
+def test_docs_lengths_jvm_path_matches_python(spark):
+    """_docs_with_lengths' codegen token-count path (no text through
+    Arrow) must produce byte-identical len/norm columns to the Python
+    kernel, across stop words, min length, lowercase, per-field boosts,
+    doc boosts and per-doc-field boosts."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.index.builder import (
+        IndexConfig,
+        _docs_with_lengths,
+        _jvm_token_count,
+    )
+
+    rows = [
+        (0, "The quick brown Fox and a dog 42", "en", 2.0, 1.5),
+        (1, "", None, None, None),
+        (2, "a an of to at", "de", 0.5, None),
+        (3, None, "fr", 1.0, 3.0),
+        (4, "Xy z qq multiWord tokens HERE the", "en", None, 0.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, db double, boost_text double"
+    )
+    ana = Analyzer(
+        "[a-zA-Z0-9]+",
+        lowercase=True,
+        stop_words=frozenset({"the", "a", "an", "of", "to", "at", "and"}),
+        min_length=2,
+        name="t",
+    )
+    cfg = IndexConfig(
+        field_policy={"text": "text", "lang": "keyword"},
+        analyzer=ana,
+        field_boosts={"text": 1.25},
+        doc_boost_col="db",
+    )
+    assert _jvm_token_count(ana, None) is not None  # fast path engaged
+    fast = {r["doc_id"]: r for r in _docs_with_lengths(df, cfg).collect()}
+
+    # force the Python kernel by making the analyzer non-JVM-expressible
+    # (translit=True changes nothing on this pure-ASCII corpus)
+    ana_py = Analyzer(
+        ana.token_pattern, lowercase=True, stop_words=ana.stop_words,
+        min_length=2, translit=True, name="t",
+    )
+    cfg_py = IndexConfig(
+        field_policy=cfg.field_policy, analyzer=ana_py,
+        field_boosts=cfg.field_boosts, doc_boost_col="db",
+    )
+    assert _jvm_token_count(ana_py, None) is None
+    slow = {r["doc_id"]: r for r in _docs_with_lengths(df, cfg_py).collect()}
+    for d in fast:
+        for c in ["len_text", "norm_text", "len_lang", "norm_lang"]:
+            assert fast[d][c] == slow[d][c], (d, c, fast[d][c], slow[d][c])
+
+
+def test_docs_lengths_jvm_path_rejects_unsupported(spark):
+    from lucene_spark.analysis import Analyzer, text_ci
+    from lucene_spark.index.builder import _jvm_token_count
+
+    assert _jvm_token_count(text_ci(), None) is None  # translit
+    assert _jvm_token_count(Analyzer(r"[^\W\d_]+"), None) is None  # \W class

@@ -68,8 +68,22 @@ def main():
             (r["doc_id"], round(r["score"], 9)) for r in pruned
         ], "pruned top-k must equal exact"
         t0 = time.time()
-        s.search("+table +spark -vector", k=10).collect()
+        bool_exact = s.search("+table +spark -vector", k=10).collect()
         t_bool = time.time() - t0
+        # round-3: the same hot conjunction through topk_wand_and —
+        # bucket presence + cross-term bounds instead of a full decode
+        t0 = time.time()
+        bool_pruned = s.search(
+            "+table +spark -vector", k=10, pruning="force"
+        ).collect()
+        t_bool_pruned = time.time() - t0
+        # tie-robust parity (near-tied docs sum floats in nondeterministic
+        # aggregation order on both paths): same rounded score multiset
+        assert sorted(
+            (round(r["score"], 9) for r in bool_exact), reverse=True
+        ) == sorted((round(r["score"], 9) for r in bool_pruned), reverse=True), (
+            "pruned conjunction top-k must equal exact"
+        )
         # conversation-scoped conjunction: the rare required keyword term
         # engages range pruning — the hot text term decodes only blocks
         # overlapping that conversation's contiguous doc range
@@ -86,6 +100,16 @@ def main():
         assert [(r["doc_id"], round(r["score"], 9)) for r in exact] == [
             (r["doc_id"], round(r["score"], 9)) for r in rows
         ], "topk_term_pruned must equal exact"
+
+        from lucene_spark.search.executor import topk_wand_and
+        from lucene_spark.search.similarity import bm25_idf
+
+        and_terms = [Term("table", "text"), Term("spark", "text")]
+        and_w = [bm25_idf(ix.doc_freq(t), ix.n_docs) for t in and_terms]
+        _df, and_stats = topk_wand_and(
+            ix, and_terms, and_w, [True, True], [Term("vector", "text")],
+            k=10, collect_stats=True,
+        )
         print(json.dumps({
             "n_turns": int(ix.n_docs),
             "build_sec": round(build_sec, 1),
@@ -95,6 +119,9 @@ def main():
             "wand_blocks_total": stats["blocks_total"],
             "wand_blocks_decoded": stats["blocks_decoded"],
             "q_bool_sec": round(t_bool, 2),
+            "q_bool_pruned_sec": round(t_bool_pruned, 2),
+            "wand_and_blocks_total": and_stats["blocks_total"],
+            "wand_and_blocks_decoded": and_stats["blocks_decoded"],
             "q_conv_scoped_sec": round(t_scoped, 2),
             "cpus": cpus,
         }))

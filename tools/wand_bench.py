@@ -117,6 +117,11 @@ def main() -> None:
             "rare_term": "text:w2000",
             "or_hot_rare": "text:w1 OR text:w2000",
             "or_mid": "text:w50 OR text:w300 OR text:w2000",
+            # round-3 conjunction pruning (topk_wand_and via execute)
+            "and_hot_hot": "+text:w1 +text:w5",
+            "and_hot_mid": "+text:w1 +text:w50",
+            "and_mid_mid": "+text:w50 +text:w300",
+            "and_not": "+text:w1 +text:w5 -text:w2000",
         }
         for name, qs in cases.items():
             q = parse_query(qs).rewrite(ix).optimize(ix)
@@ -124,23 +129,45 @@ def main() -> None:
             exact = s.execute(q, k=10, pruning="off").collect()
             t_exact = time.time() - t0
 
-            terms = (
-                [q.term]
-                if hasattr(q, "term")
-                else list(q.terms)
-            )
             N = ix.n_docs
-            weights = [bm25_idf(ix.doc_freq(t), N) for t in terms]
-            t0 = time.time()
-            df, _ = topk_wand(ix, terms, weights, k=10)
-            pruned = df.collect()
-            t_pruned = time.time() - t0
-            # stats jobs are metadata-only but still jobs — keep them
-            # OUT of the timed window
-            _df2, stats = topk_wand(ix, terms, weights, k=10, collect_stats=True)
-            assert [(r["doc_id"], round(r["score"], 9)) for r in exact] == [
-                (r["doc_id"], round(r["score"], 9)) for r in pruned
-            ], f"{name}: pruned != exact"
+            if name.startswith("and"):
+                from lucene_spark.search.executor import (
+                    _wand_and_query,
+                    topk_wand_and,
+                )
+
+                scorable, pro = _wand_and_query(q)
+                terms = [t for t, _m, _r in scorable]
+                weights = [
+                    q.boost * m * bm25_idf(ix.doc_freq(t), N)
+                    for t, m, _r in scorable
+                ]
+                req = [r for _t, _m, r in scorable]
+                t0 = time.time()
+                df, _ = topk_wand_and(ix, terms, weights, req, pro, k=10)
+                pruned = df.collect()
+                t_pruned = time.time() - t0
+                _df2, stats = topk_wand_and(
+                    ix, terms, weights, req, pro, k=10, collect_stats=True
+                )
+            else:
+                terms = [q.term] if hasattr(q, "term") else list(q.terms)
+                weights = [bm25_idf(ix.doc_freq(t), N) for t in terms]
+                t0 = time.time()
+                df, _ = topk_wand(ix, terms, weights, k=10)
+                pruned = df.collect()
+                t_pruned = time.time() - t0
+                # stats jobs are metadata-only but still jobs — keep them
+                # OUT of the timed window
+                _df2, stats = topk_wand(ix, terms, weights, k=10, collect_stats=True)
+            # tie-robust: nondeterministic float-sum order can flip
+            # ulp-tied neighbours; scores must match as a multiset and
+            # per-doc where both picked the same doc
+            assert sorted(
+                (round(r["score"], 9) for r in exact), reverse=True
+            ) == sorted(
+                (round(r["score"], 9) for r in pruned), reverse=True
+            ), f"{name}: pruned != exact"
             out["queries"][name] = {
                 "df": sum(ix.doc_freq(t) for t in terms),
                 "exact_sec": round(t_exact, 2),
