@@ -65,7 +65,7 @@ from lucene_spark.search.query import FuzzyQuery, Term
 
 # ---------------------------------------------------------------- config
 
-_VERSION = "r2c"  # bump to invalidate cached gate indexes
+_VERSION = "r3b"  # bump to invalidate cached gate indexes
 TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 K1, B = 1.2, 0.75
 TOPK = 20

@@ -79,6 +79,9 @@ BLOCK_SIZE = 128  # docs per posting block ≙ reference indexInterval
 BLOCK_DOC_RANGE = 8192  # max doc-id span per block: sparse terms split
 # at range boundaries so block-max bounds stay doc-local (see
 # _invert_segment packing comment)
+WAND_SUBS = 4  # sub-range summaries per posting block (32 postings
+# each at full blocks): per-sub (doc span, max_tf, min_dl) ceilings
+# localize WAND bounds below block granularity
 MAX_BUILD_CHUNKS = 512  # cap on serial resume-chunk jobs in phase A
 
 
@@ -125,6 +128,22 @@ POSTINGS_SCHEMA = StructType(
         # avgdl. Typically 1-5 pairs (tf values cluster at 1-3).
         StructField("imp_tfs", ArrayType(IntegerType())),
         StructField("imp_dls", ArrayType(IntegerType())),
+        # Sub-range summaries: the block's postings split into
+        # WAND_SUBS equal runs, each with its own doc span and its own
+        # Pareto (tf, dl) frontier — the sub-range's EXACT max impact
+        # for any monotone scorer, not a (max_tf, min_dl) mix of
+        # different docs (with log-normal doc lengths nearly every
+        # 32-posting run contains one short doc, so the mixed bound
+        # stays uniformly high and prunes nothing). Cross-term WAND
+        # bounds computed from these localize a block's impact to the
+        # sub-range that actually holds it — a single high-impact doc
+        # no longer smears the block's bound over its whole 8192-doc
+        # span, which is what made uniform-impact OR disjunctions
+        # unprunable at block granularity.
+        StructField("sub_min_docs", ArrayType(LongType())),
+        StructField("sub_max_docs", ArrayType(LongType())),
+        StructField("sub_imp_tfs", ArrayType(ArrayType(IntegerType()))),
+        StructField("sub_imp_dls", ArrayType(ArrayType(IntegerType()))),
         StructField("cf", LongType()),
         StructField("docs_bin", BinaryType()),
         StructField("tfs_bin", BinaryType()),
@@ -523,6 +542,19 @@ def _invert_segment(cfg: IndexConfig):
                 t = g_tfs[s:e]
                 dl = g_dls[s:e]
                 imp_tf, imp_dl = pareto_impacts(t, dl)
+                # sub-range summaries: WAND_SUBS equal posting runs,
+                # each with its own doc span and Pareto (tf, dl)
+                # frontier (exact per-sub max impact)
+                cuts = np.unique(
+                    np.linspace(0, e - s, WAND_SUBS + 1).astype(np.int64)
+                )
+                sub_min, sub_max, sub_itf, sub_idl = [], [], [], []
+                for a, z in zip(cuts[:-1], cuts[1:]):
+                    sub_min.append(int(d[a]))
+                    sub_max.append(int(d[z - 1]))
+                    s_tf, s_dl = pareto_impacts(t[a:z], dl[a:z])
+                    sub_itf.append([int(x) for x in s_tf])
+                    sub_idl.append([int(x) for x in s_dl])
                 base = int(d[0]) - 1
                 docs_bin = vb_encode(np.diff(d, prepend=np.int64(base)).astype(np.uint64))
                 tfs_bin = vb_encode(t.astype(np.uint64))
@@ -551,6 +583,10 @@ def _invert_segment(cfg: IndexConfig):
                         int(dl.min()),
                         [int(x) for x in imp_tf],
                         [int(x) for x in imp_dl],
+                        sub_min,
+                        sub_max,
+                        sub_itf,
+                        sub_idl,
                         int(t.sum()),
                         docs_bin,
                         tfs_bin,

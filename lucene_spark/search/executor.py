@@ -976,6 +976,13 @@ def _collect_terms(q: Query) -> list[Term]:
 
 AUTO_PRUNING_MIN_DF = 65536  # 'auto' pruning: below this, block skipping
 # can't amortize the extra metadata jobs
+CAND_BUCKET = 128  # docs per candidate-restriction bucket for the
+# MAXSCORE split: fine enough that a non-essential block survives only
+# if an essential candidate doc is ~block-distance away, coarse enough
+# that the explode factor on sparse blocks stays ≤ BLOCK_DOC_RANGE/128
+MAXSCORE_CAND_DF_BOUND = 2_000_000  # apply the MAXSCORE candidate
+# restriction only while the essential terms' summed df fits a
+# broadcast (matches the boolean anti-join broadcast bound)
 WAND_BUCKET = 2048  # docs per cross-term bound bucket (~16 blocks):
 # fine enough that a hot term's high-impact region doesn't smear its
 # bound across the whole segment, coarse enough that the bucket tables
@@ -1019,15 +1026,11 @@ def _terms_cond(terms: list[Term]) -> Column:
     )
 
 
-def _ub_expr(index: SparkIndex, terms: list[Term], weights: list[float]) -> Column:
-    """Block upper bound from the stored Pareto impact pairs: the max of
-    partial(tf_j, dl_j) over the block's non-dominated (tf, dl) docs —
-    exact per-block max impact, far tighter than partial(max_tf,
-    min_dl) which mixes tf and dl of DIFFERENT docs. partial() needs
-    avgdl, so the bound is evaluated lazily here (codegen'd
-    higher-order expression over the tiny arrays, no UDF). Per-term
-    literal lookups are WHEN chains (T = #query terms, tiny)."""
-    k1, b = float(BM25_K1), float(BM25_B)
+def _w_avgdl_exprs(
+    index: SparkIndex, terms: list[Term], weights: list[float]
+) -> tuple[Column, Column]:
+    """Per-row (weight, avgdl) literal lookups as WHEN chains keyed on
+    (field, term) — T = #query terms, tiny."""
     w_expr = F.lit(0.0)
     avgdl_expr = F.lit(1.0)
     for t, w in zip(terms, weights):
@@ -1036,6 +1039,18 @@ def _ub_expr(index: SparkIndex, terms: list[Term], weights: list[float]) -> Colu
         avgdl_expr = F.when(
             this, F.lit(float(index.avg_field_len(t.field)))
         ).otherwise(avgdl_expr)
+    return w_expr, avgdl_expr
+
+
+def _ub_expr(index: SparkIndex, terms: list[Term], weights: list[float]) -> Column:
+    """Block upper bound from the stored Pareto impact pairs: the max of
+    partial(tf_j, dl_j) over the block's non-dominated (tf, dl) docs —
+    exact per-block max impact, far tighter than partial(max_tf,
+    min_dl) which mixes tf and dl of DIFFERENT docs. partial() needs
+    avgdl, so the bound is evaluated lazily here (codegen'd
+    higher-order expression over the tiny arrays, no UDF)."""
+    k1, b = float(BM25_K1), float(BM25_B)
+    w_expr, avgdl_expr = _w_avgdl_exprs(index, terms, weights)
     return w_expr * F.array_max(
         F.zip_with(
             F.col("imp_tfs").cast("array<double>"),
@@ -1043,6 +1058,74 @@ def _ub_expr(index: SparkIndex, terms: list[Term], weights: list[float]) -> Colu
             lambda tf, dl: (tf * F.lit(k1 + 1.0))
             / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl_expr)),
         )
+    )
+
+
+def _sub_meta(
+    index: SparkIndex, terms: list[Term], weights: list[float]
+) -> DataFrame:
+    """Sub-range-granular block metadata: one row per (block, sub-range)
+    with the sub-range's doc span ``_smin``/``_smax`` and ``_sub`` = the
+    sub-range's EXACT weighted max impact — w·max over its own Pareto
+    (tf, dl) frontier of partial(tf, dl). Bounds built from sub-ranges
+    don't smear a single high-impact doc over the block's whole doc
+    span, which is what made uniform-impact OR disjunctions unprunable
+    at block granularity (BASELINE.md §6.1, round 2). Pre-r3 indexes
+    without the ``sub_*`` columns degrade to one sub-range per block
+    (exactly the round-2 block-granular behavior)."""
+    k1, b = float(BM25_K1), float(BM25_B)
+    base = index.postings.where(_terms_cond(terms))
+    w_expr, avgdl_expr = _w_avgdl_exprs(index, terms, weights)
+    if "sub_max_docs" in base.columns:
+        rows = base.select(
+            *_WAND_META_COLS,
+            F.explode(
+                F.arrays_zip(
+                    "sub_min_docs", "sub_max_docs", "sub_imp_tfs", "sub_imp_dls"
+                )
+            ).alias("_z"),
+        ).select(
+            *_WAND_META_COLS,
+            F.col("_z.sub_min_docs").alias("_smin"),
+            F.col("_z.sub_max_docs").alias("_smax"),
+            F.col("_z.sub_imp_tfs").alias("_sitf"),
+            F.col("_z.sub_imp_dls").alias("_sidl"),
+        )
+    else:  # pre-r3 index: the block is its own (single) sub-range
+        rows = base.select(
+            *_WAND_META_COLS,
+            F.col("doc_base").alias("_smin"),
+            F.col("max_docid").alias("_smax"),
+            F.col("imp_tfs").alias("_sitf"),
+            F.col("imp_dls").alias("_sidl"),
+        )
+    sub = w_expr * F.array_max(
+        F.zip_with(
+            F.col("_sitf").cast("array<double>"),
+            F.col("_sidl").cast("array<double>"),
+            lambda tf, dl: (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl_expr)),
+        )
+    )
+    return rows.select(
+        *_WAND_META_COLS,
+        "_smin",
+        "_smax",
+        sub.alias("_sub"),
+    )
+
+
+def _bucketed_sub(smeta: DataFrame) -> DataFrame:
+    """Explode sub-range rows into the WAND_BUCKET-quantized doc-range
+    buckets they overlap (column ``_bkt``)."""
+    return smeta.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col("_smin") / WAND_BUCKET).cast("long"),
+                (F.col("_smax") / WAND_BUCKET).cast("long"),
+            )
+        ),
     )
 
 
@@ -1123,6 +1206,7 @@ def topk_wand(
     spark = index.spark
     k = max(int(k), 1)
     empty = spark.createDataFrame([], "doc_id long, score double")
+    Q = WAND_BUCKET
 
     cond = _terms_cond(terms)
     meta_cols = _WAND_META_COLS
@@ -1133,70 +1217,282 @@ def topk_wand(
             "doc_id"
         ).agg(F.sum("_s").alias("score"))
 
-    # round 1: seed θ from the k highest-ub blocks (TakeOrdered — the
-    # driver receives ≤ k key rows regardless of term df)
-    seed_keys = [
-        tuple(r[c] for c in meta_cols)
-        for r in meta.orderBy(F.col("_ub").desc()).select(*meta_cols).limit(k).collect()
-    ]
-    if not seed_keys:
-        return (
-            empty,
-            {"blocks_total": 0, "blocks_decoded": 0, "theta": None}
-            if collect_stats
-            else None,
-        )
     theta = float("-inf")
-    keys_df = spark.createDataFrame(
-        seed_keys,
-        "field string, term string, seg_id long, block_id long, doc_base long",
-    )
-    seed_blocks = index.postings.where(cond).join(F.broadcast(keys_df), meta_cols)
-    seed_rows = (
-        score_blocks(seed_blocks)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .collect()
-    )
-    if len(seed_rows) >= k:
-        theta = float(seed_rows[k - 1]["score"])
-
-    # round 2: metadata-only survivor filter. Cross-term bounds live on
-    # QUANTIZED doc-range buckets (WAND_BUCKET docs): for every bucket a
-    # block overlaps, ub_b + Σ_{t'≠t} bucketmax_{t'} ≥ θ keeps the
-    # block. Every doc's bucket is inside its block's bucket range, and
-    # bucketmax ≥ the doc's actual other-term block ubs, so no doc of
-    # the true top-k (ties included — the filter is ≥) can lose a
-    # contribution: provably exact. For a single term the cross-term sum
-    # is empty and this collapses to the classic per-block ub ≥ θ.
     if len(terms) == 1:
+        # seed θ from the k highest-ub blocks (TakeOrdered — the driver
+        # receives ≤ k key rows regardless of term df); for one term a
+        # doc's decoded sum IS its complete score
+        seed_keys = [
+            tuple(r[c] for c in meta_cols)
+            for r in meta.orderBy(F.col("_ub").desc())
+            .select(*meta_cols)
+            .limit(k)
+            .collect()
+        ]
+        if not seed_keys:
+            return (
+                empty,
+                {"blocks_total": 0, "blocks_decoded": 0, "theta": None}
+                if collect_stats
+                else None,
+            )
+        keys_df = spark.createDataFrame(
+            seed_keys,
+            "field string, term string, seg_id long, block_id long, doc_base long",
+        )
+        seed_blocks = index.postings.where(cond).join(
+            F.broadcast(keys_df), meta_cols
+        )
+        seed_rows = (
+            score_blocks(seed_blocks)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) >= k:
+            theta = float(seed_rows[k - 1]["score"])
+        # round 2: classic per-block ub ≥ θ (empty cross-term sum)
         survivors = index.postings.where(cond).where(
             _ub_expr(index, terms, weights) >= F.lit(theta)
         )
     else:
-        bmeta = meta.withColumn(
-            "_bkt",
-            F.explode(
-                F.sequence(
-                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
-                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
-                )
-            ),
-        )
+        # Multi-term disjunction. Cross-term bounds live on QUANTIZED
+        # doc-range buckets (WAND_BUCKET docs) at SUB-RANGE granularity
+        # (_sub_meta): bucketmax_{t,B} = max _sub over t's sub-ranges
+        # overlapping B bounds any contribution t can make to a doc in
+        # B, without smearing one high-impact doc over the block's
+        # whole doc span.
+        #
+        # θ seed: rank buckets by Σ_t bucketmax (the best possible doc
+        # score inside), decode ALL query-term blocks overlapping the
+        # top S buckets, and keep docs INSIDE those buckets — every
+        # contribution of such a doc comes from a block overlapping
+        # its own bucket, so these sums are COMPLETE scores and θ =
+        # kth best is a true lower bound on the kth best overall
+        # (round-2's top-k-blocks seed summed partial scores — far
+        # weaker for ORs whose top docs combine several mid terms).
+        # Bucket choice is HYBRID: the global top-S by Σ bucketmax
+        # (combination docs) ∪ each term's top-S by its own bucketmax
+        # (single-strong-term docs) — ranking by Σ alone collapses θ
+        # when the top combined buckets hold < k strong docs (observed:
+        # θ 0.08 vs true kth 9.4 on a hot∨rare query). S quadruples
+        # while hits < k; θ stays −inf if the whole corpus has < k
+        # matching docs — no pruning, still exact.
+        from pyspark.sql import Window
+
+        smeta = _sub_meta(index, terms, weights)
+        bmeta = _bucketed_sub(smeta)
         bmax = bmeta.groupBy("_bkt", "field", "term").agg(
-            F.max("_ub").alias("_bmax")
+            F.max("_sub").alias("_bmax")
         )
         bsum = bmax.groupBy("_bkt").agg(F.sum("_bmax").alias("_bsum"))
+        S = max(WAND_AND_SEED_BUCKETS, 1)
+        seed_bkts: list[int] = []
+        ms: dict[tuple[str, str], float] = {}
+        nul_s = F.lit(None).cast("string")
+        nul_d = F.lit(None).cast("double")
+        nul_l = F.lit(None).cast("long")
+        while True:
+            # one tagged-union collect per round: 'g' global top-S
+            # buckets, 't' per-term top-S buckets, 'm' per-term global
+            # max impact (for the MAXSCORE split below), 'c' occupied
+            # bucket count (loop exit) — 4 tiny aggregations, 1 job
+            w_rn = Window.partitionBy("field", "term").orderBy(
+                F.col("_bmax").desc(), F.col("_bkt").asc()
+            )
+            tag_g = (
+                bsum.orderBy(F.col("_bsum").desc())
+                .limit(S)
+                .select(
+                    F.lit("g").alias("_tag"),
+                    F.col("_bkt"),
+                    nul_s.alias("field"),
+                    nul_s.alias("term"),
+                    nul_d.alias("_val"),
+                )
+            )
+            tag_t = (
+                bmax.withColumn("_rn", F.row_number().over(w_rn))
+                .where(F.col("_rn") <= S)
+                .select(
+                    F.lit("t").alias("_tag"),
+                    F.col("_bkt"),
+                    "field",
+                    "term",
+                    nul_d.alias("_val"),
+                )
+            )
+            tag_m = bmax.groupBy("field", "term").agg(
+                F.max("_bmax").alias("_val")
+            ).select(
+                F.lit("m").alias("_tag"), nul_l.alias("_bkt"), "field", "term", "_val"
+            )
+            tag_c = bsum.agg(F.count("*").alias("_val")).select(
+                F.lit("c").alias("_tag"),
+                nul_l.alias("_bkt"),
+                nul_s.alias("field"),
+                nul_s.alias("term"),
+                F.col("_val").cast("double"),
+            )
+            bkt_set: set[int] = set()
+            n_occ = 0
+            for r in (
+                tag_g.unionByName(tag_t).unionByName(tag_m).unionByName(tag_c)
+            ).collect():
+                if r["_tag"] in ("g", "t"):
+                    bkt_set.add(int(r["_bkt"]))
+                elif r["_tag"] == "m":
+                    ms[(r["field"], r["term"])] = float(r["_val"])
+                else:
+                    n_occ = int(r["_val"])
+            bkt_ids = sorted(bkt_set)
+            if not bkt_ids:
+                break
+            seed_bkts = bkt_ids
+            seed_df = spark.createDataFrame(
+                [(x,) for x in bkt_ids], "_bkt long"
+            )
+            seed_keys = (
+                bmeta.join(F.broadcast(seed_df), "_bkt", "leftsemi")
+                .select(*meta_cols)
+                .distinct()
+            )
+            seed_blocks = index.postings.where(cond).join(seed_keys, meta_cols)
+            seed_rows = (
+                _score_decoded(index, terms, weights, seed_blocks)
+                .where((F.col("doc_id") / Q).cast("long").isin(bkt_ids))
+                .groupBy("doc_id")
+                .agg(F.sum("_s").alias("score"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            if len(seed_rows) >= k:
+                theta = float(seed_rows[k - 1]["score"])
+                break
+            if S >= n_occ:  # every occupied bucket examined
+                break
+            S *= 4
+
+        # survivor filter: keep block b of term t iff SOME of its
+        # sub-ranges sr and SOME bucket B overlapped by sr has
+        # _sub(sr) + Σ_{t'≠t} bucketmax_{t',B} ≥ θ. A doc d in a
+        # dropped block: its sub-range sr(d) overlaps its own bucket
+        # B(d), its t-contribution ≤ _sub(sr(d)) and every other
+        # term's contribution ≤ that term's bucketmax at B(d) — so
+        # score(d) ≤ the dropped bound < θ ≤ true kth score, and no
+        # true top-k doc (ties included — the filter is ≥) loses a
+        # contribution: provably exact.
         keep_keys = (
             bmeta.join(bmax, ["_bkt", "field", "term"])
             .join(bsum, "_bkt")
             .where(
-                F.col("_ub") + (F.col("_bsum") - F.col("_bmax")) >= F.lit(theta)
+                F.col("_sub") + (F.col("_bsum") - F.col("_bmax"))
+                >= F.lit(theta)
             )
             .select(*meta_cols)
             .distinct()
         )
         survivors = index.postings.where(cond).join(keep_keys, meta_cols)
+
+        # MAXSCORE split (Turtle & Flood): order terms by global max
+        # impact; the longest prefix whose cumulative sum stays < θ is
+        # NON-ESSENTIAL — a doc matching only those terms scores
+        # strictly < θ ≤ true kth, so every top-k doc matches some
+        # ESSENTIAL term. Non-essential blocks then need decoding only
+        # where an essential candidate doc lives (the Spark analogue
+        # of Lucene's skipTo into the cheap term): essential blocks
+        # decode first, their doc ids become the candidate set, and
+        # non-essential survivor blocks are kept only if their doc
+        # range overlaps a candidate (CAND_BUCKET-quantized equi-join;
+        # decoded rows then semi-join candidates doc-exactly, so the
+        # score shuffle carries candidates only). Applied when the
+        # essential side is small enough to broadcast.
+        order = sorted(
+            range(len(terms)),
+            key=lambda i: ms.get((terms[i].field, terms[i].text), float("inf")),
+        )
+        non_ess: list[int] = []
+        acc = 0.0
+        if theta > float("-inf"):
+            for i in order:
+                m = ms.get((terms[i].field, terms[i].text))
+                if m is None or len(non_ess) >= len(terms) - 1:
+                    break
+                if acc + m < theta:
+                    acc += m
+                    non_ess.append(i)
+                else:
+                    break
+        ess_ids = [i for i in range(len(terms)) if i not in set(non_ess)]
+        ess_df = sum(index.doc_freq(terms[i]) for i in ess_ids)
+        if non_ess and ess_df <= MAXSCORE_CAND_DF_BOUND:
+            ess_t = [terms[i] for i in ess_ids]
+            ess_w = [weights[i] for i in ess_ids]
+            non_t = [terms[i] for i in non_ess]
+            non_w = [weights[i] for i in non_ess]
+            ess_dec = _score_decoded(
+                index, ess_t, ess_w, survivors.where(_terms_cond(ess_t))
+            ).persist()
+            cand = ess_dec.select("doc_id").distinct()
+            cand_b = (
+                cand.select(
+                    (F.col("doc_id") / CAND_BUCKET).cast("long").alias("_cbkt")
+                ).distinct()
+            )
+            non_keys = (
+                meta.where(_terms_cond(non_t))
+                .join(keep_keys, meta_cols, "leftsemi")
+                .withColumn(
+                    "_cbkt",
+                    F.explode(
+                        F.sequence(
+                            (F.col("doc_base") / CAND_BUCKET).cast("long"),
+                            (F.col("max_docid") / CAND_BUCKET).cast("long"),
+                        )
+                    ),
+                )
+                .join(F.broadcast(cand_b), "_cbkt", "leftsemi")
+                .select(*meta_cols)
+                .distinct()
+            )
+            non_blocks = index.postings.where(_terms_cond(non_t)).join(
+                non_keys, meta_cols
+            )
+            non_dec = _score_decoded(index, non_t, non_w, non_blocks).join(
+                F.broadcast(cand), "doc_id", "leftsemi"
+            )
+            out = (
+                ess_dec.unionByName(non_dec)
+                .groupBy("doc_id")
+                .agg(F.sum("_s").alias("score"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+            )
+            stats = None
+            if collect_stats:
+                dec_keys = (
+                    survivors.where(_terms_cond(ess_t))
+                    .select(*meta_cols)
+                    .unionByName(non_keys)
+                )
+                if seed_bkts:
+                    seed_df = spark.createDataFrame(
+                        [(x,) for x in seed_bkts], "_bkt long"
+                    )
+                    dec_keys = dec_keys.unionByName(
+                        bmeta.join(F.broadcast(seed_df), "_bkt", "leftsemi")
+                        .select(*meta_cols)
+                    )
+                stats = {
+                    "blocks_total": meta.count(),
+                    "blocks_decoded": dec_keys.distinct().count(),
+                    "theta": theta,
+                    "essential": [
+                        (terms[i].field, terms[i].text) for i in ess_ids
+                    ],
+                }
+            return out, stats
     out = (
         score_blocks(survivors)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1262,17 +1558,7 @@ def _restrict_blocks_to_buckets(index: SparkIndex, terms: list[Term], bkts_df):
 
     cond = _terms_cond(terms)
     keys = (
-        index.postings.where(cond)
-        .select(*_WAND_META_COLS, "max_docid")
-        .withColumn(
-            "_bkt",
-            F.explode(
-                F.sequence(
-                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
-                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
-                )
-            ),
-        )
+        _bucketed_sub(_sub_meta(index, terms, [0.0] * len(terms)))
         .join(bkts_df, "_bkt", "leftsemi")
         .select(*_WAND_META_COLS)
         .distinct()
@@ -1343,16 +1629,14 @@ def topk_wand_and(
 
     cond = _terms_cond(terms)
     meta = _block_meta(index, terms, weights)
-    bmeta = meta.withColumn(
-        "_bkt",
-        F.explode(
-            F.sequence(
-                (F.col("doc_base") / Q).cast("long"),
-                (F.col("max_docid") / Q).cast("long"),
-            )
-        ),
+    # sub-range granularity (see _sub_meta): presence and bounds both
+    # tighten — a bucket covered only by the GAP between two of a
+    # required term's sub-ranges no longer counts as present, and a
+    # block's high-impact doc no longer lifts buckets it isn't in
+    bmeta = _bucketed_sub(_sub_meta(index, terms, weights))
+    bmax = bmeta.groupBy("_bkt", "field", "term").agg(
+        F.max("_sub").alias("_bmax")
     )
-    bmax = bmeta.groupBy("_bkt", "field", "term").agg(F.max("_ub").alias("_bmax"))
     is_req = _terms_cond([terms[i] for i in req_ids])
     present = (
         bmax.where(is_req)
@@ -1437,7 +1721,7 @@ def topk_wand_and(
     keep_keys = (
         bmeta.join(bmax, ["_bkt", "field", "term"])
         .join(bsum, "_bkt")
-        .where(F.col("_ub") + (F.col("_bsum") - F.col("_bmax")) >= F.lit(theta))
+        .where(F.col("_sub") + (F.col("_bsum") - F.col("_bmax")) >= F.lit(theta))
         .select(*_WAND_META_COLS)
         .distinct()
     )

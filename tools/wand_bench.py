@@ -117,6 +117,9 @@ def main() -> None:
             "rare_term": "text:w2000",
             "or_hot_rare": "text:w1 OR text:w2000",
             "or_mid": "text:w50 OR text:w300 OR text:w2000",
+            # sparse OR: essential-candidate density below CAND_BUCKET
+            # resolution — the MAXSCORE split's favorable shape
+            "or_rare": "text:w800 OR text:w1200 OR text:w2000",
             # round-3 conjunction pruning (topk_wand_and via execute)
             "and_hot_hot": "+text:w1 +text:w5",
             "and_hot_mid": "+text:w1 +text:w50",
