@@ -1517,6 +1517,45 @@ FROM documents
 """
 
 
+def _mm_dims(spark, sf_dir):
+    """REAL image dimensions from raw bytes: synthesize byte-valid
+    PNG/JPEG fixtures per doc_id, then parse PNG IHDR / JPEG SOFn
+    headers (stdlib-only) through the Arrow/mapInPandas pipeline. The
+    oracle recomputes the dimensions from the fixture id formula
+    (ops/media_headers.fixture_dims), so a header-parse bug on either
+    branch hash-mismatches."""
+    from lucene_spark.ops.multimodal import (
+        attach_synthetic_media,
+        extract_image_dims,
+    )
+
+    payloads = attach_synthetic_media(
+        _docs(spark, sf_dir).select(F.col("doc_id").alias("id")), "id"
+    )
+    d = extract_image_dims(payloads)
+    return d.select(
+        F.col("id").cast("long").alias("id"),
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+
+
+# mirrors lucene_spark/ops/media_headers.py fixture_dims + synth_media:
+# even ids → PNG (RGBA if id%2==0 — always true on the PNG branch),
+# odd ids → JPEG (grayscale when id%3==0 else YCbCr)
+_MM_DIMS_SQL = """
+SELECT doc_id::BIGINT AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       (16 + doc_id % 640)::BIGINT AS width,
+       (16 + (doc_id * 7) % 480)::BIGINT AS height,
+       (CASE WHEN doc_id % 2 = 0 THEN 4
+             WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END)::BIGINT AS channels
+FROM documents
+"""
+
+
 # --------------------------------------------------------- tr_* queries
 
 
@@ -1607,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_counts": _tx_token_counts,
         "tx_fingerprint": _tx_fingerprint,
         "mm_features": _mm_features,
+        "mm_dims": _mm_dims,
         "smp_split": _smp_split,
         "smp_stratified": _smp_stratified,
         "smp_pack": _smp_pack,
@@ -1656,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_token_counts": _TX_TOKEN_COUNTS_SQL,
         "tx_fingerprint": _TX_FP_SQL,
         "mm_features": _MM_SQL,
+        "mm_dims": _MM_DIMS_SQL,
         "smp_split": _SMP_SPLIT_SQL,
         "smp_stratified": _SMP_STRAT_SQL,
         "smp_pack": _SMP_PACK_SQL,

@@ -161,10 +161,15 @@ def _emit_len_norm_cols(
     kw_fields: list[str],
     field_boosts: dict[str, float],
     doc_boost_col: str | None,
+    length_norm_fn=None,
 ) -> pd.DataFrame:
     """Shared Arrow-kernel body: len_<f> (surviving-token count) and
     norm_<f> (quantized byte of lengthNorm·docBoost·fieldBoost —
-    DocumentWriter.php:106-109; keyword lengthNorm(1)=1)."""
+    DocumentWriter.php:106-109; keyword lengthNorm(1)=1).
+    ``length_norm_fn`` is the pluggable Similarity lengthNorm hook,
+    captured driver-side by the caller (default: the reference
+    1/sqrt(n))."""
+    ln_fn = length_norm_fn or length_norm
     if doc_boost_col:
         if doc_boost_col not in pdf.columns:
             raise ValueError(
@@ -190,7 +195,9 @@ def _emit_len_norm_cols(
 
     for f in text_fields:
         lens = analyzer.count_series(pdf[f])
-        norms = encode_norm_array(length_norm(lens) * doc_boost * field_boost(f))
+        norms = encode_norm_array(
+            np.asarray(ln_fn(lens), np.float64) * doc_boost * field_boost(f)
+        )
         # empty tokenized field → not indexed → norm byte 0
         # (reference: DocumentWriter.php:101-104, missing-field norm)
         norms = np.where(lens == 0, 0, norms)
@@ -198,7 +205,11 @@ def _emit_len_norm_cols(
         out[f"norm_{f}"] = norms.astype(np.int32)
     for f in kw_fields:
         present = pdf[f].notna().to_numpy()
-        vals = np.full(len(pdf), 1.0, np.float64) * field_boost(f) * doc_boost
+        vals = (
+            np.full(len(pdf), float(ln_fn(1)), np.float64)
+            * field_boost(f)
+            * doc_boost
+        )
         norms = encode_norm_array(vals)
         out[f"len_{f}"] = present.astype(np.int64)
         out[f"norm_{f}"] = np.where(present, norms, 0).astype(np.int32)
@@ -260,6 +271,13 @@ def assign_doc_ids(
         extra_fields.append(StructField(f"norm_{f}", IntegerType()))
     schema = StructType(ordered.schema.fields + extra_fields)
 
+    # similarity lengthNorm resolved on the DRIVER and captured into
+    # the kernel closure (workers must not re-resolve the default);
+    # lazy import — search/__init__ imports executor imports builder
+    from lucene_spark.search.similarity import get_default
+
+    ln_fn = get_default().length_norm
+
     # mapInPandas may split a partition into several Arrow batches; the
     # running offset must persist across batches within one partition
     def add_ids(it):
@@ -278,6 +296,7 @@ def assign_doc_ids(
                 pdf, out, analyzer, text_fields, kw_fields,
                 cfg.field_boosts if cfg else {},
                 cfg.doc_boost_col if cfg else None,
+                length_norm_fn=ln_fn,
             )
 
     out = ordered.mapInPandas(add_ids, schema).drop("_pid")
@@ -655,13 +674,17 @@ def _docs_with_lengths(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     field_boosts = cfg.field_boosts
     doc_boost_col = cfg.doc_boost_col
 
+    from lucene_spark.search.similarity import get_default  # lazy: cycle
+
+    ln_fn = get_default().length_norm  # driver-resolved hook
+
     if _jvm_token_count(analyzer, None) is not None:
 
         @F.pandas_udf(IntegerType())
         def norm_udf(lens: pd.Series, boost: pd.Series) -> pd.Series:
             ln = lens.to_numpy(np.int64)
             norms = encode_norm_array(
-                length_norm(ln) * boost.to_numpy(np.float64)
+                np.asarray(ln_fn(ln), np.float64) * boost.to_numpy(np.float64)
             )
             return pd.Series(np.where(ln == 0, 0, norms).astype(np.int32))
 
@@ -706,6 +729,7 @@ def _docs_with_lengths(df: DataFrame, cfg: IndexConfig) -> DataFrame:
             yield _emit_len_norm_cols(
                 pdf, pdf.copy(), analyzer, text_fields, kw_fields,
                 field_boosts, doc_boost_col,
+                length_norm_fn=ln_fn,
             )
 
     return df.mapInPandas(add_lens, schema)

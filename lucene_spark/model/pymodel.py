@@ -27,7 +27,7 @@ from bisect import bisect_left
 from dataclasses import dataclass
 
 from lucene_spark.analysis import Analyzer, default_analyzer
-from lucene_spark.codec.norms import decode_norm, encode_norm, length_norm
+from lucene_spark.codec.norms import decode_norm, encode_norm
 from lucene_spark.search.query import (
     BooleanQuery,
     EmptyResult,
@@ -43,11 +43,7 @@ from lucene_spark.search.similarity import (
     BM25_K1,
     bm25_idf,
     bm25_partial,
-    classic_coord,
-    classic_idf,
-    classic_query_norm,
-    classic_tf,
-    sloppy_freq,
+    get_default,
 )
 from lucene_spark.search.parser import parse_query
 
@@ -123,7 +119,10 @@ class PyIndex:
             fb = self.field_boosts.get(name, 1.0)
             if field_boosts and name in field_boosts:
                 fb = field_boosts[name] * fb
-            norm = (length_norm(n) if kind == "text" else 1.0) * boost * fb
+            ln = (
+                float(get_default().length_norm(n)) if kind == "text" else 1.0
+            )
+            norm = ln * boost * fb
             self.norm_bytes.setdefault(name, {})[doc_id] = encode_norm(norm)
         self._sorted_terms_cache.clear()
         return doc_id
@@ -245,13 +244,16 @@ class _ClassicScorer:
     def __init__(self, index: PyIndex, q: Query):
         self.ix = index
         self.q = q
+        # scoring hooks resolved once per query ≙ the reference reading
+        # AbstractSimilarity::getDefault at weight-build time
+        self.sim = get_default()
         ssw = self._sum_sq(q)
-        self.query_norm = classic_query_norm(ssw)
+        self.query_norm = self.sim.query_norm(ssw)
 
     # --- weight machinery: value(term) = idf² · ownerBoost · queryNorm·chain
     def _sum_sq(self, q: Query) -> float:
         if isinstance(q, TermQuery):
-            idf = classic_idf(self.ix.doc_freq(q.term), self.ix.n_docs)
+            idf = self.sim.idf(self.ix.doc_freq(q.term), self.ix.n_docs)
             w = idf * q.boost
             return w * w
         if isinstance(q, MultiTermQuery):
@@ -260,7 +262,7 @@ class _ClassicScorer:
                 sign = True if q.signs is None else q.signs[i]
                 if sign is False:
                     continue
-                idf = classic_idf(self.ix.doc_freq(t), self.ix.n_docs)
+                idf = self.sim.idf(self.ix.doc_freq(t), self.ix.n_docs)
                 w = idf * q.boost  # term weight owner is the MultiTerm
                 s += w * w
             s *= q.boost * q.boost
@@ -271,7 +273,7 @@ class _ClassicScorer:
             return s if s != 0 else 1.0
         if isinstance(q, PhraseQuery):
             idf = sum(
-                classic_idf(self.ix.doc_freq(t), self.ix.n_docs) for t in q.terms
+                self.sim.idf(self.ix.doc_freq(t), self.ix.n_docs) for t in q.terms
             )
             w = idf * q.boost
             return w * w
@@ -330,7 +332,7 @@ class _ClassicScorer:
         return self._score(self.q, doc_id, self.query_norm)
 
     def _term_value(self, term: Term, owner_boost: float, qn: float) -> float:
-        idf = classic_idf(self.ix.doc_freq(term), self.ix.n_docs)
+        idf = self.sim.idf(self.ix.doc_freq(term), self.ix.n_docs)
         # Weight\Term: value = (idf·boost·queryNorm)·idf (Weight/Term.php:76-103)
         return idf * owner_boost * qn * idf
 
@@ -341,7 +343,7 @@ class _ClassicScorer:
             if doc_id not in freqs:
                 return 0.0
             return (
-                classic_tf(freqs[doc_id])
+                self.sim.tf(freqs[doc_id])
                 * self._term_value(q.term, q.boost, qn)
                 * ix.norm(doc_id, q.term.field)
                 * q.boost
@@ -357,11 +359,11 @@ class _ClassicScorer:
                 for t in q.terms:
                     freqs = ix.term_freqs(t)
                     score += (
-                        classic_tf(freqs[doc_id])
+                        self.sim.tf(freqs[doc_id])
                         * self._term_value(t, q.boost, child_qn)
                         * ix.norm(doc_id, t.field)
                     )
-                coord = classic_coord(len(q.terms), len(q.terms))
+                coord = self.sim.coord(len(q.terms), len(q.terms))
                 return score * coord * q.boost
             max_coord = sum(1 for s in q.signs if s is not False)
             score = 0.0
@@ -373,17 +375,17 @@ class _ClassicScorer:
                 if doc_id in freqs:
                     matched_terms += 1
                     score += (
-                        classic_tf(freqs[doc_id])
+                        self.sim.tf(freqs[doc_id])
                         * self._term_value(t, q.boost, child_qn)
                         * ix.norm(doc_id, t.field)
                     )
-            return score * classic_coord(matched_terms, max_coord) * q.boost
+            return score * self.sim.coord(matched_terms, max_coord) * q.boost
         if isinstance(q, BooleanQuery):
             if doc_id not in self._matched(q):
                 return 0.0
             child_qn = qn * q.boost
             if q.signs is None:
-                coord = classic_coord(len(q.subqueries), len(q.subqueries))
+                coord = self.sim.coord(len(q.subqueries), len(q.subqueries))
                 score = 0.0
                 for sub in q.subqueries:
                     s = self._score(sub, doc_id, child_qn)
@@ -405,7 +407,7 @@ class _ClassicScorer:
                 if sign is not False and s != 0:
                     matched += 1
                     score += s
-            return score * classic_coord(matched, max_coord) * q.boost
+            return score * self.sim.coord(matched, max_coord) * q.boost
         if isinstance(q, PhraseQuery):
             if doc_id not in self._matched(q):
                 return 0.0
@@ -413,11 +415,11 @@ class _ClassicScorer:
             if freq == 0:
                 return 0.0
             idf = sum(
-                classic_idf(ix.doc_freq(t), ix.n_docs) for t in q.terms
+                self.sim.idf(ix.doc_freq(t), ix.n_docs) for t in q.terms
             )
             value = idf * q.boost * qn * idf
             return (
-                classic_tf(freq)
+                self.sim.tf(freq)
                 * value
                 * ix.norm(doc_id, q.terms[0].field)
                 * q.boost
@@ -428,7 +430,7 @@ class _ClassicScorer:
         from lucene_spark.search.phrase import phrase_freq
 
         tp = [self.ix.term_positions(t)[doc_id] for t in q.terms]
-        return phrase_freq(tp, q.offsets, q.slop)
+        return phrase_freq(tp, q.offsets, q.slop, sf=self.sim.sloppy_freq)
 
 
 class _BM25Scorer:

@@ -97,6 +97,70 @@ def decode_real(blob: bytes, media_type: str) -> np.ndarray:
     )
 
 
+_DIMS_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+    ]
+)
+
+
+def attach_synthetic_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic byte-VALID media fixtures: id → complete PNG
+    (even ids) / JPEG (odd ids) whose dimensions are a pure function of
+    the id (ops.media_headers.fixture_dims) — so an oracle can verify
+    the real byte-parse end-to-end without any image library. Arrow
+    batches via mapInPandas; one payload per row."""
+    from lucene_spark.ops.media_headers import synth_media
+
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"id": ids.to_numpy(), "payload": [synth_media(int(i)) for i in ids]}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(kernel, out_schema)
+
+
+def extract_image_dims(df: DataFrame) -> DataFrame:
+    """(id, payload binary) → (id, format, width, height, channels) by
+    REAL byte parsing of PNG IHDR / JPEG SOFn headers
+    (ops.media_headers — stdlib-only, no image libraries). Rows whose
+    payload is not a recognizable PNG/JPEG yield null format/dims.
+    Same Arrow/mapInPandas shape as :func:`extract_features`; the
+    payload column is dropped on output so downstream stages never
+    re-read the heavy bytes."""
+    from lucene_spark.ops.media_headers import parse_image_header
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, blob in zip(pdf["id"], pdf["payload"]):
+                parsed = parse_image_header(bytes(blob)) if blob is not None else None
+                if parsed is None:
+                    rows.append((int(i), None, None, None, None))
+                else:
+                    fmt, w, h, c = parsed
+                    rows.append((int(i), fmt, w, h, c))
+            yield pd.DataFrame(
+                rows, columns=["id", "format", "width", "height", "channels"]
+            )
+
+    return df.mapInPandas(kernel, _DIMS_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """(id, payload binary, meta struct) → (id, meta.*, feature).
 

@@ -60,8 +60,7 @@ from lucene_spark.search.similarity import (
     BM25_B,
     BM25_K1,
     bm25_idf,
-    classic_coord,
-    classic_idf,
+    get_default,
 )
 
 
@@ -496,6 +495,7 @@ class SparkSearcher:
         view) — defaults to the full index.
         """
         ix = self.index
+        sim = get_default()  # pluggable classic hooks (setDefault)
         df = decode_postings(src or ix, terms)
         val_arr = F.array(*[F.lit(float(v)) for v in values])
         boost_arr = F.array(*[F.lit(float(b)) for b in boosts])
@@ -540,7 +540,7 @@ class SparkSearcher:
         norm_table = F.array(*[F.lit(float(x)) for x in NORM_TABLE])
         norm = F.element_at(norm_table, norm_byte + 1)
         score = (
-            F.sqrt(F.col("tf").cast("double"))
+            sim.tf_expr(F.col("tf"))
             * F.element_at(val_arr, F.col("qid") + 1)
             * norm
             * F.element_at(boost_arr, F.col("qid") + 1)
@@ -558,9 +558,10 @@ class SparkSearcher:
         """
         ix = self.index
         N = ix.n_docs
+        sim = get_default()
 
         def term_value(t: Term, owner_boost: float, chain_qn: float) -> float:
-            idf = classic_idf(ix.doc_freq(t), N)
+            idf = sim.idf(ix.doc_freq(t), N)
             return idf * owner_boost * chain_qn * idf
 
         if isinstance(q, TermQuery):
@@ -632,13 +633,13 @@ class SparkSearcher:
                 agg = agg.join(pro, "doc_id", "left_anti")
             if mode == "classic":
                 if signs is None:
-                    coord = classic_coord(len(q.terms), len(q.terms))
+                    coord = sim.coord(len(q.terms), len(q.terms))
                     score = F.col("_s") * F.lit(coord) * F.lit(q.boost)
                 else:
                     max_coord = len(scorable)
                     score = (
                         F.col("_s")
-                        * (F.col("_m").cast("double") / F.lit(float(max_coord)))
+                        * sim.coord_expr(F.col("_m"), max_coord)
                         * F.lit(q.boost)
                     )
             else:
@@ -710,13 +711,13 @@ class SparkSearcher:
                 if signs is None:
                     # conjunction double-coord (coord(n,n)=1, kept explicit
                     # for parity with Boolean.php:655-665)
-                    coord = classic_coord(len(q.subqueries), len(q.subqueries))
+                    coord = sim.coord(len(q.subqueries), len(q.subqueries))
                     score = F.col("_s") * F.lit(coord) * F.lit(coord) * F.lit(q.boost)
                 else:
                     max_coord = len(pos)
                     score = (
                         F.col("_s")
-                        * (F.col("_m").cast("double") / F.lit(float(max_coord)))
+                        * sim.coord_expr(F.col("_m"), max_coord)
                         * F.lit(q.boost)
                     )
             else:
@@ -740,6 +741,7 @@ class SparkSearcher:
         phrase words share a decoded term (slot→unique-term mapping)."""
         ix = self.index
         N = ix.n_docs
+        sim = get_default()
         # unique terms; each phrase slot maps to its unique term's qid
         uniq: list[Term] = []
         slot_qid: list[int] = []
@@ -842,6 +844,12 @@ class SparkSearcher:
 
             bias = slop + max(offsets) + 2  # keys stay positive
             two_slot_delta = offsets[1] - offsets[0] if n_slots == 2 else None
+            # similarity hooks captured HERE (driver) so workers score
+            # with the similarity that planned the query; the 2-slot
+            # closed form is derived from the default 1/(d+1) and only
+            # applies then
+            sf, sf_np = sim.sloppy_freq, sim.sloppy_freq_np
+            default_sloppy = sim.is_default_sloppy()
 
             @F.pandas_udf(DoubleType())
             def freq_udf(*pos_cols: pd.Series) -> pd.Series:
@@ -886,7 +894,7 @@ class SparkSearcher:
                 # Python queue, fuzz-asserted in test_properties). No
                 # per-candidate Python runs even on hot-hot term pairs
                 # where most candidates survive the prefilter.
-                if two_slot_delta is not None:
+                if two_slot_delta is not None and default_sloppy:
                     _ra, fa, la, ba = qid_cache[slot_qid[0]]
                     _rb, fb, lb, bb = qid_cache[slot_qid[1]]
                     single = rs[(la[rs] == 1) & (lb[rs] == 1)]
@@ -894,7 +902,7 @@ class SparkSearcher:
                         d = np.abs(
                             fb[bb[single]] - fa[ba[single]] - two_slot_delta
                         )
-                        out[single] = np.where(d <= slop, 1.0 / (d + 1.0), 0.0)
+                        out[single] = np.where(d <= slop, sf_np(d), 0.0)
                     for r in rs[(la[rs] != 1) | (lb[rs] != 1)]:
                         out[r] = sloppy_phrase_freq_2slot(
                             fa[ba[r] : ba[r + 1]],
@@ -908,7 +916,9 @@ class SparkSearcher:
                             list(pos_cols[slot_qid[i]].iloc[int(r)])
                             for i in range(n_slots)
                         ]
-                        out[int(r)] = sloppy_phrase_freq(positions, offsets, slop)
+                        out[int(r)] = sloppy_phrase_freq(
+                            positions, offsets, slop, sf=sf
+                        )
                 return pd.Series(out)
 
         # exactly ONE ArrowEvalPython per phrase plan: Catalyst pushes
@@ -924,7 +934,7 @@ class SparkSearcher:
         ).where(F.col("freq") > 0)
 
         if mode == "classic":
-            idf = sum(classic_idf(ix.doc_freq(t), N) for t in q.terms)
+            idf = sum(sim.idf(ix.doc_freq(t), N) for t in q.terms)
             value = idf * q.boost * qn * idf
             fields = [q.terms[0].field]
             docs_proj = ix.docs.select(
@@ -933,7 +943,7 @@ class SparkSearcher:
             joined = joined.join(docs_proj, "doc_id")
             norm_table = F.array(*[F.lit(float(x)) for x in NORM_TABLE])
             norm = F.element_at(norm_table, F.col("_nb") + 1)
-            score = F.sqrt(F.col("freq")) * F.lit(value) * norm * F.lit(q.boost)
+            score = sim.tf_expr(F.col("freq")) * F.lit(value) * norm * F.lit(q.boost)
         else:
             df_min = min(ix.doc_freq(t) for t in q.terms)
             avgdl = ix.avg_field_len(q.terms[0].field)

@@ -29,10 +29,13 @@ def exact_phrase_freq(positions: list[list[int]], offsets: list[int]) -> float:
 
 
 def sloppy_phrase_freq(
-    positions: list[list[int]], offsets: list[int], slop: int
+    positions: list[list[int]], offsets: list[int], slop: int, sf=None
 ) -> float:
     """Candidate-tuple construction + min-shift distance, verbatim
-    semantics of the reference's incremental phrase queue."""
+    semantics of the reference's incremental phrase queue. ``sf``
+    overrides the sloppyFreq weighting (pluggable Similarity hook);
+    default is the reference 1/(d+1)."""
+    sf = sf or sloppy_freq
     phrase_queue: list[dict[int, int]] = [{}]
     last_term: int | None = None
     for term_id in range(len(positions)):
@@ -65,7 +68,7 @@ def sloppy_phrase_freq(
             if min_distance is None or distance < min_distance:
                 min_distance = distance
         if min_distance is not None and min_distance <= slop:
-            freq += sloppy_freq(min_distance)
+            freq += sf(min_distance)
     return freq
 
 
@@ -126,8 +129,8 @@ def sloppy_phrase_freq_2slot(pos_a, pos_b, delta: int, slop: int) -> float:
 
 
 def phrase_freq(
-    positions: list[list[int]], offsets: list[int], slop: int
+    positions: list[list[int]], offsets: list[int], slop: int, sf=None
 ) -> float:
     if slop == 0:
         return exact_phrase_freq(positions, offsets)
-    return sloppy_phrase_freq(positions, offsets, slop)
+    return sloppy_phrase_freq(positions, offsets, slop, sf=sf)

@@ -67,3 +67,96 @@ def bm25_sql(tf: str, df: str, n: str, dl: str, avgdl: str,
         f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5)) * "
         f"({tf} * ({k1} + 1.0) / ({tf} + {k1} * (1.0 - {b} + {b} * {dl} / {avgdl})))"
     )
+
+
+# ------------------------------------------------- pluggable similarity
+
+
+class Similarity:
+    """Pluggable classic-scoring hooks ≙ the reference's similarity
+    override points (AbstractSimilarity.php:296 ``setDefault``;
+    DefaultSimilarity.php lengthNorm:22-29 queryNorm:38-41 tf:50-53
+    sloppyFreq:62-65 idf:75-78 coord:88-91).
+
+    The scalar hooks drive the pure-Python model, the index build
+    (``length_norm`` — baked into the norm byte, like the reference's
+    DocumentWriter), and driver-side weight math. ``tf_expr``
+    additionally emits the equivalent Catalyst Column so the Spark
+    engine scores identically — override BOTH ``tf`` and ``tf_expr``
+    for a custom tf (parity asserted in tests). ``length_norm`` takes
+    scalars or numpy arrays (the build kernel is vectorized);
+    ``sloppy_freq_np`` takes a numpy distance array.
+
+    Instances must be picklable: hooks are captured driver-side into
+    builder/executor kernel closures (never resolved on workers, so a
+    worker always scores with the similarity that planned the job).
+    Defaults delegate to the module formulas above — default behavior
+    is byte-identical with or without the indirection.
+    """
+
+    def tf(self, freq: float) -> float:
+        return classic_tf(freq)
+
+    def tf_expr(self, c):
+        """Catalyst Column equivalent of :meth:`tf` (c: numeric Column)."""
+        from pyspark.sql import functions as F
+
+        return F.sqrt(c.cast("double"))
+
+    def idf(self, df: int, num_docs: int) -> float:
+        return classic_idf(df, num_docs)
+
+    def length_norm(self, num_tokens):
+        """ndarray|int → ndarray|float; quantized to the norm byte at
+        index build time (same quantization as the reference)."""
+        from lucene_spark.codec.norms import length_norm
+
+        return length_norm(num_tokens)
+
+    def query_norm(self, sum_sq: float) -> float:
+        return classic_query_norm(sum_sq)
+
+    def coord(self, overlap: int, max_overlap: int) -> float:
+        return classic_coord(overlap, max_overlap)
+
+    def coord_expr(self, overlap, max_overlap: int):
+        """Catalyst Column equivalent of :meth:`coord` (overlap: int
+        Column, max_overlap: driver int)."""
+        from pyspark.sql import functions as F
+
+        if not max_overlap:
+            return F.lit(1.0)
+        return overlap.cast("double") / F.lit(float(max_overlap))
+
+    def sloppy_freq(self, distance: int) -> float:
+        return sloppy_freq(distance)
+
+    def sloppy_freq_np(self, d):
+        """Vectorized :meth:`sloppy_freq` over a numpy distance array."""
+        return 1.0 / (d + 1.0)
+
+    def is_default_sloppy(self) -> bool:
+        """True iff sloppy_freq is unoverridden. The executor's 2-slot
+        closed-form kernel is derived from 1/(d+1) and only applies
+        then; a custom sloppy_freq routes through the generic queue."""
+        return (
+            type(self).sloppy_freq is Similarity.sloppy_freq
+            and type(self).sloppy_freq_np is Similarity.sloppy_freq_np
+        )
+
+
+_default_similarity = Similarity()
+
+
+def get_default() -> Similarity:
+    """≙ AbstractSimilarity::getDefault (AbstractSimilarity.php:308-315)."""
+    return _default_similarity
+
+
+def set_default(sim: Similarity) -> None:
+    """≙ AbstractSimilarity::setDefault (AbstractSimilarity.php:296-299):
+    swap the classic scoring implementation globally — the Python
+    model, index build (lengthNorm), and Spark executor all consult
+    the default at plan/build time."""
+    global _default_similarity
+    _default_similarity = sim

@@ -1,0 +1,297 @@
+"""Round-3 additions: pluggable Similarity (reference setDefault),
+stdlib image-header parsing, DOM-aware HTML highlighting."""
+
+import math
+
+import pytest
+
+from lucene_spark.ops.media_headers import (
+    fixture_dims,
+    parse_image_header,
+    parse_jpeg_header,
+    parse_png_header,
+    synth_jpeg,
+    synth_media,
+    synth_png,
+)
+from lucene_spark.search.html_highlight import (
+    HIGHLIGHT_COLORS,
+    color_groups,
+    highlight_html_text,
+)
+from lucene_spark.search.similarity import (
+    Similarity,
+    get_default,
+    set_default,
+)
+
+
+# ------------------------------------------------------- media headers
+
+
+def test_png_jpeg_header_roundtrip():
+    for i in [0, 1, 2, 3, 6, 9, 15, 639, 640, 641, 12345]:
+        blob = synth_media(i)
+        parsed = parse_image_header(blob)
+        assert parsed is not None, i
+        fmt, w, h, c = parsed
+        ew, eh = fixture_dims(i)
+        assert (w, h) == (ew, eh), i
+        if i % 2 == 0:
+            assert fmt == "png" and c == 4
+        else:
+            assert fmt == "jpeg"
+            assert c == (1 if i % 3 == 0 else 3)
+
+
+def test_header_parse_rejects_garbage():
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+    # truncated SOF segment
+    assert parse_jpeg_header(b"\xff\xd8\xff\xc0\x00\x09\x08\x00\x10") is None
+
+
+def test_jpeg_walks_past_non_sof_segments():
+    # valid JPEG with APP0 before SOF0 — the walker must skip it
+    blob = synth_jpeg(7)
+    assert parse_jpeg_header(blob) == (16 + 7, 16 + 49, 3)
+
+
+def test_png_zero_dims_rejected():
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 0, 10, 8, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    assert parse_png_header(b"\x89PNG\r\n\x1a\n" + chunk) is None
+
+
+def test_extract_image_dims_spark(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.ops.multimodal import (
+        attach_synthetic_media,
+        extract_image_dims,
+    )
+
+    ids = spark.range(50).select(F.col("id"))
+    dims = extract_image_dims(attach_synthetic_media(ids, "id"))
+    rows = {r["id"]: r for r in dims.collect()}
+    assert len(rows) == 50
+    for i in range(50):
+        ew, eh = fixture_dims(i)
+        r = rows[i]
+        assert (r["width"], r["height"]) == (ew, eh)
+        assert r["format"] == ("png" if i % 2 == 0 else "jpeg")
+
+
+def test_extract_image_dims_null_for_non_image(spark):
+    pdf_rows = [(1, bytearray(b"plain text")), (2, bytearray(synth_png(2)))]
+    df = spark.createDataFrame(pdf_rows, "id long, payload binary")
+    from lucene_spark.ops.multimodal import extract_image_dims
+
+    got = {r["id"]: r for r in extract_image_dims(df).collect()}
+    assert got[1]["format"] is None and got[1]["width"] is None
+    assert got[2]["format"] == "png"
+
+
+# -------------------------------------------------- DOM HTML highlight
+
+
+def test_highlight_colors_rotate_per_clause():
+    from lucene_spark.search.parser import parse_query
+
+    q = parse_query("text:alpha OR text:beta OR text:gamma")
+    groups = color_groups(q)
+    # reference: Boolean recurses per subquery — one highlight() call
+    # (one color) per clause, rotating through the fixed palette
+    assert [g[1] for g in groups] == HIGHLIGHT_COLORS[: len(groups)]
+    html = "<p>alpha beta gamma delta</p>"
+    out = highlight_html_text(html, groups)
+    for term, (_, color) in zip(["alpha", "beta", "gamma"], groups):
+        assert f'background-color:{color}">{term}</b>' in out
+    assert "delta</p>" in out  # non-matching text untouched
+
+
+def test_highlight_skips_script_tags_and_attributes():
+    groups = [(["table"], "#66ffff")]
+    html = (
+        '<div data-x="table"><script>var table = 1;</script>'
+        "<p>a table here</p><!-- table --></div>"
+    )
+    out = highlight_html_text(html, groups)
+    assert out.count("<b style=") == 1
+    assert 'data-x="table"' in out
+    assert "var table = 1;" in out
+    assert "<!-- table -->" in out
+
+
+def test_highlight_token_boundaries_and_entities():
+    groups = [(["cat"], "#ff8888")]
+    out = highlight_html_text("<p>cat category concat &amp; cat</p>", groups)
+    # whole analyzed tokens only — 'category'/'concat' untouched
+    assert out.count("<b style=") == 2
+    assert "category" in out and "concat &amp;" in out
+
+
+def test_highlight_prohibited_clause_excluded():
+    from lucene_spark.search.parser import parse_query
+
+    q = parse_query("+text:keep -text:drop")
+    groups = color_groups(q)
+    terms = [t for g, _ in groups for t in g]
+    assert "keep" in terms and "drop" not in terms
+
+
+def test_highlight_matches_dataframe(spark):
+    from lucene_spark.search.html_highlight import highlight_matches
+    from lucene_spark.search.parser import parse_query
+
+    df = spark.createDataFrame(
+        [(1, "<body><p>spark and flink</p></body>")], "id long, html string"
+    )
+    q = parse_query("text:spark OR text:flink")
+    out = highlight_matches(df, "html", q).collect()[0]["highlighted"]
+    assert f'background-color:{HIGHLIGHT_COLORS[0]}">spark</b>' in out
+    assert f'background-color:{HIGHLIGHT_COLORS[1]}">flink</b>' in out
+
+
+# ---------------------------------------------- pluggable similarity
+
+
+class _LinearSimilarity(Similarity):
+    """Every hook overridden: linear tf, smoothed idf, log lengthNorm,
+    constant coord, shifted sloppyFreq — exercises scalar AND expr
+    forms."""
+
+    def tf(self, freq):
+        return float(freq)
+
+    def tf_expr(self, c):
+        return c.cast("double")
+
+    def idf(self, df, num_docs):
+        return math.log(1.0 + num_docs / (df + 1.0))
+
+    def length_norm(self, num_tokens):
+        import numpy as np
+
+        n = np.asarray(num_tokens, dtype=np.float64)
+        out = np.where(n == 0, 1e10, 1.0 / (1.0 + np.log(np.maximum(n, 1.0))))
+        if out.ndim == 0:
+            return float(out)
+        return out
+
+    def coord(self, overlap, max_overlap):
+        return 1.0
+
+    def coord_expr(self, overlap, max_overlap):
+        from pyspark.sql import functions as F
+
+        return F.lit(1.0)
+
+    def sloppy_freq(self, distance):
+        return 1.0 / (distance + 2.0)
+
+    def sloppy_freq_np(self, d):
+        return 1.0 / (d + 2.0)
+
+
+@pytest.fixture()
+def linear_similarity():
+    set_default(_LinearSimilarity())
+    try:
+        yield get_default()
+    finally:
+        set_default(Similarity())
+
+
+def test_set_default_roundtrip():
+    base = get_default()
+    custom = _LinearSimilarity()
+    set_default(custom)
+    try:
+        assert get_default() is custom
+        assert not custom.is_default_sloppy()
+    finally:
+        set_default(base)
+    assert get_default() is base
+    assert base.is_default_sloppy()
+
+
+def test_custom_similarity_model_spark_parity(
+    spark, transcripts_df, transcripts_rows, tmp_path, linear_similarity
+):
+    """Custom similarity honored END-TO-END: index built under the
+    custom lengthNorm, queries scored with custom tf/idf/coord/sloppy,
+    model and Spark engine agree at 1e-9 (VERDICT r2 Next #7)."""
+    from lucene_spark.index import IndexConfig, build_index
+    from lucene_spark.model import PyIndex
+    from lucene_spark.search.executor import SparkSearcher
+
+    six = build_index(
+        spark, transcripts_df, str(tmp_path / "ix"), IndexConfig(seg_size=100)
+    )
+    model = PyIndex(
+        field_policy={
+            "text": "text",
+            "conv_id": "keyword",
+            "role": "keyword",
+            "tool": "keyword",
+        }
+    )
+    for conv_id, turn_idx, role, text, tool, _ts in sorted(
+        transcripts_rows, key=lambda r: (r[0], r[1])
+    ):
+        fields = {"text": text, "conv_id": conv_id, "role": role}
+        if tool is not None:
+            fields["tool"] = tool
+        model.add_document(fields)
+
+    searcher = SparkSearcher(six)
+    queries = [
+        "text:spark",
+        "text:spark OR text:index",
+        "text:spark AND text:merge",
+        "+text:spark -text:merge text:index",
+        'text:"spark index"',
+        'text:"index term"~2',
+    ]
+    for qs in queries:
+        want = [
+            (h.doc_id, h.score)
+            for h in model.find(qs, score_mode="classic")
+        ]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in searcher.search(qs, k=0, score_mode="classic").collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], qs
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-9), (qs, g[0])
+
+
+def test_default_similarity_unaffected_after_custom(
+    spark_index, model_index
+):
+    """The session-scoped default-built indexes still rank identically
+    after a custom similarity was set and restored."""
+    from lucene_spark.search.executor import SparkSearcher
+
+    s = SparkSearcher(spark_index)
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in model_index.find("text:spark OR text:index", score_mode="classic")
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.search("text:spark OR text:index", k=0, score_mode="classic").collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
