@@ -1556,6 +1556,115 @@ FROM documents
 """
 
 
+# DOM highlighting gate: wrap each document's (entity-escaped) text in
+# a tiny HTML page whose <script> section ALSO contains the query
+# terms, run the reference-parity DOM highlighter with a 3-clause OR
+# (one rotating color per clause — DefaultHighlighter.php:13-26), and
+# emit verifiable invariants: per-color wrap counts must equal the
+# token-match counts over the ORIGINAL text (script/tag/entity content
+# contributes nothing — the DOM-awareness negative control), and the
+# byte growth must be exactly 52 per wrap (48-char <b style…> prefix +
+# </b>), proving every non-text byte passed through verbatim.
+_HL_QUERY = "text:spark OR text:table OR text:index"
+_HL_SCRIPT = "</p><script>spark table index</script>"
+_HL_WRAP_OVERHEAD = 52
+
+
+def _hl_html(spark, sf_dir):
+    from lucene_spark.search.html_highlight import (
+        HIGHLIGHT_COLORS,
+        highlight_matches,
+    )
+    from lucene_spark.search.parser import parse_query
+
+    d = _docs(spark, sf_dir)
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    d = d.withColumn("html", F.concat(F.lit("<p>"), esc, F.lit(_HL_SCRIPT)))
+    q = parse_query(_HL_QUERY)
+    out = highlight_matches(d, "html", q, token_pattern="[a-zA-Z0-9]+")
+
+    def cnt(s: str):
+        return (
+            (
+                F.length("highlighted")
+                - F.length(F.replace(F.col("highlighted"), F.lit(s), F.lit("")))
+            )
+            / len(s)
+        ).cast("long")
+
+    marker = '<b style="color:black;background-color:'
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"),
+        cnt(marker).alias("n_hl"),
+        cnt(f"background-color:{HIGHLIGHT_COLORS[0]}\">").alias("n_c1"),
+        cnt(f"background-color:{HIGHLIGHT_COLORS[1]}\">").alias("n_c2"),
+        cnt(f"background-color:{HIGHLIGHT_COLORS[2]}\">").alias("n_c3"),
+        (F.length("highlighted") - F.length("html")).cast("long").alias("delta_len"),
+    )
+
+
+_HL_HTML_SQL = f"""
+WITH m AS (
+    SELECT doc_id,
+           len(list_filter({TOKEN_SQL}, t -> t = 'spark')) AS n1,
+           len(list_filter({TOKEN_SQL}, t -> t = 'table')) AS n2,
+           len(list_filter({TOKEN_SQL}, t -> t = 'index')) AS n3
+    FROM documents
+)
+SELECT doc_id::BIGINT AS id,
+       (n1 + n2 + n3)::BIGINT AS n_hl,
+       n1::BIGINT AS n_c1,
+       n2::BIGINT AS n_c2,
+       n3::BIGINT AS n_c3,
+       ({_HL_WRAP_OVERHEAD} * (n1 + n2 + n3))::BIGINT AS delta_len
+FROM m
+"""
+
+
+# pluggable-similarity gate: swap the classic tf hook for LINEAR tf
+# (AbstractSimilarity::setDefault — AbstractSimilarity.php:296) and run
+# the classic single-term chain; every downstream quirk (norm-byte
+# codebook, idf ln(n/(df+1))+1, top-score normalization) must still
+# hold, with sqrt(tf) replaced by tf in BOTH engine and oracle. The
+# index is reused (lengthNorm unchanged); only scoring changes.
+def _ft_custom_sim(spark, sf_dir):
+    from lucene_spark.search.similarity import (
+        Similarity,
+        get_default,
+        set_default,
+    )
+
+    class _LinearTf(Similarity):
+        def tf(self, freq):
+            return float(freq)
+
+        def tf_expr(self, c):
+            return c.cast("double")
+
+    prev = get_default()
+    set_default(_LinearTf())
+    try:
+        # plan under the custom similarity: all hooks are captured at
+        # plan/weight-build time, so restoring the default afterwards
+        # cannot affect the returned DataFrame
+        return _searched(spark, sf_dir, "text:table", mode="classic")
+    finally:
+        set_default(prev)
+
+
+# identical classic chain with linear tf — derived from the default
+# oracle so the two can never drift except in the tf expression
+def _ft_custom_sim_sql() -> str:
+    assert _FT_CLASSIC_SQL.count("sqrt(t.tf)") == 1
+    return _FT_CLASSIC_SQL.replace("sqrt(t.tf)", "t.tf")
+
+
 # --------------------------------------------------------- tr_* queries
 
 
@@ -1647,6 +1756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": _tx_fingerprint,
         "mm_features": _mm_features,
         "mm_dims": _mm_dims,
+        "hl_html": _hl_html,
+        "ft_custom_sim": _ft_custom_sim,
         "smp_split": _smp_split,
         "smp_stratified": _smp_stratified,
         "smp_pack": _smp_pack,
@@ -1697,6 +1808,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_fingerprint": _TX_FP_SQL,
         "mm_features": _MM_SQL,
         "mm_dims": _MM_DIMS_SQL,
+        "hl_html": _HL_HTML_SQL,
+        "ft_custom_sim": _ft_custom_sim_sql(),
         "smp_split": _SMP_SPLIT_SQL,
         "smp_stratified": _SMP_STRAT_SQL,
         "smp_pack": _SMP_PACK_SQL,
