@@ -115,6 +115,119 @@ def ivf_topk(
     return brute_force_topk(pruned, id_col, vec_col, query_vec, k)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Spherical k-means quantizer for IVF — the trained replacement
+    for an externally supplied bucket column (round-3: bucket-mean
+    centroids gave no recall knob when the buckets were arbitrary).
+
+    Fully distributed Lloyd iterations: assignment is k codegen'd dot
+    products per row against NORMALIZED driver-broadcast centroids
+    (argmax over cosine ≡ argmax over dot once centroids are unit
+    length — |v| is constant across a row's candidates); the update is
+    the posexplode/groupBy mean from :func:`centroids` — the shuffle
+    carries one double per (bucket, dim). Only k·dim doubles ever hit
+    the driver per iteration, so the loop costs n_iter scans and works
+    at any row count.
+
+    Init is deterministic: the k seeds are the vectors whose md5(id)
+    sort first — reproducible at any partitioning. Empty clusters keep
+    their previous centroid. Returns unit-length centroids (index =
+    bucket id) for :func:`assign_ivf_buckets` / :func:`ivf_topk_trained`.
+    """
+    import numpy as np
+
+    df = df.where(l2norm(_as_double(F.col(vec_col))) > 0)
+    seeds = (
+        df.select(F.col(vec_col).alias("v"), F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    cents = np.asarray([[float(x) for x in r["v"]] for r in seeds], np.float64)
+    if len(cents) == 0:
+        return []
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(n_iter):
+        assigned = df.withColumn(
+            "_ivf_b", _argmax_bucket(F.col(vec_col), cents.tolist())
+        )
+        means = centroids(assigned, "_ivf_b", vec_col).collect()
+        new = cents.copy()  # empty cluster → previous centroid survives
+        for r in means:
+            c = np.asarray(r["centroid"], np.float64)
+            n = np.linalg.norm(c)
+            if n > 0:
+                new[int(r["bucket"])] = c / n
+        if np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    return cents.tolist()
+
+
+def _argmax_bucket(v: Column, cents: list[list[float]]) -> Column:
+    """Bucket id of the max-dot centroid (ties → lowest id). One
+    codegen'd expression — array_max over (dot, -id) structs."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(_as_double(v), F.array(*[F.lit(float(c)) for c in cent])).alias("s"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+    )
+    best = F.array_max(scored)
+    return (-best["ni"]).cast("int")
+
+
+def assign_ivf_buckets(
+    df: DataFrame, vec_col: str, cents: list[list[float]], out_col: str = "ivf_bucket"
+) -> DataFrame:
+    """Attach the trained-quantizer bucket id — at 100 TB this column
+    becomes the table's partition/cluster key so :func:`ivf_topk_trained`'s
+    probe prunes at the Parquet/Iceberg manifest level."""
+    return df.withColumn(out_col, _argmax_bucket(F.col(vec_col), cents))
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """IVF ANN with a trained quantizer: rank centroids against the
+    query DRIVER-SIDE (k·dim flops — no Spark job), scan only the
+    n_probe best buckets. With ``bucket_col`` naming a pre-assigned
+    column the filter is a pushed-down IN predicate (partition pruning
+    on a bucket-partitioned table); otherwise buckets are computed on
+    the fly (one full-scan projection, still no shuffle). n_probe =
+    len(cents) degenerates to exact brute force — the recall knob is
+    measurable (tests sweep it).
+    """
+    import numpy as np
+
+    c = np.asarray(cents, np.float64)
+    q = np.asarray([float(x) for x in query_vec], np.float64)
+    order = np.lexsort((np.arange(len(c)), -(c @ q)))
+    best = [int(b) for b in order[: max(1, n_probe)]]
+    if bucket_col is None:
+        df = assign_ivf_buckets(df, vec_col, cents, "_ivf_b")
+        bucket_col = "_ivf_b"
+    pruned = df.where(F.col(bucket_col).isin(best))
+    return brute_force_topk(pruned, id_col, vec_col, query_vec, k)
+
+
 RP_N_PLANES = 16  # random hyperplanes for sign-LSH
 RP_BAND_SIZE = 8  # 16 bits → 2 bands of 8
 

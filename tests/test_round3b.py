@@ -163,6 +163,96 @@ def test_highlight_matches_dataframe(spark):
     assert f'background-color:{HIGHLIGHT_COLORS[1]}">flink</b>' in out
 
 
+# ------------------------------------------------------ trained IVF
+
+
+@pytest.fixture(scope="module")
+def blob_embeddings(spark):
+    """8 well-separated Gaussian blobs in 16-dim: ids 0-399, blob =
+    id % 8. Deterministic — centers are unit axes pairs, noise seeded."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = np.zeros((8, 16))
+    for b in range(8):
+        centers[b, 2 * b] = 1.0
+        centers[b, 2 * b + 1] = 0.5
+    rows = []
+    for i in range(400):
+        b = i % 8
+        v = centers[b] + rng.normal(0, 0.05, 16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "id long, emb array<double>"), centers
+
+
+def test_ivf_trained_recall_curve(spark, blob_embeddings):
+    """Trained quantizer makes the recall/probe trade-off measurable:
+    recall@10 is monotone in n_probe and exactly 1.0 at n_probe=k
+    (probing every bucket ≡ brute force — the exactness oracle)."""
+    from lucene_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_topk_trained,
+        train_ivf_centroids,
+    )
+
+    df, centers = blob_embeddings
+    cents = train_ivf_centroids(df, "id", "emb", k=8, n_iter=5)
+    assert len(cents) == 8
+    q = [float(x) for x in centers[3]]
+    exact = {r["id"] for r in brute_force_topk(df, "id", "emb", q, k=10).collect()}
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        got = {
+            r["id"]
+            for r in ivf_topk_trained(
+                df, "id", "emb", cents, q, k=10, n_probe=n_probe
+            ).collect()
+        }
+        recalls.append(len(got & exact) / 10.0)
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+    # well-separated blobs: the trained quantizer recovers the blob
+    # structure, so probing the single best bucket already finds the
+    # blob the query lives in
+    assert recalls[0] >= 0.9, recalls
+
+
+def test_ivf_trained_bucket_col_pushdown(spark, blob_embeddings):
+    """Pre-assigned bucket column path: same results, and the bucket
+    filter appears as a pushed-down predicate over the column."""
+    from lucene_spark.ops.similarity import (
+        assign_ivf_buckets,
+        ivf_topk_trained,
+        train_ivf_centroids,
+    )
+
+    df, centers = blob_embeddings
+    cents = train_ivf_centroids(df, "id", "emb", k=8, n_iter=3)
+    q = [float(x) for x in centers[5]]
+    bucketed = assign_ivf_buckets(df, "emb", cents)
+    a = ivf_topk_trained(df, "id", "emb", cents, q, k=5, n_probe=2).collect()
+    b = ivf_topk_trained(
+        bucketed, "id", "emb", cents, q, k=5, n_probe=2, bucket_col="ivf_bucket"
+    ).collect()
+    assert [(r["id"], round(r["cos"], 9)) for r in a] == [
+        (r["id"], round(r["cos"], 9)) for r in b
+    ]
+
+
+def test_ivf_train_empty_and_zero_vectors(spark):
+    from lucene_spark.ops.similarity import train_ivf_centroids
+
+    empty = spark.createDataFrame([], "id long, emb array<double>")
+    assert train_ivf_centroids(empty, "id", "emb", k=4) == []
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+        "id long, emb array<double>",
+    )
+    cents = train_ivf_centroids(zeros, "id", "emb", k=2, n_iter=2)
+    # zero vectors are dropped (no direction); the rest still trains
+    assert 1 <= len(cents) <= 2
+
+
 # ---------------------------------------------- pluggable similarity
 
 
