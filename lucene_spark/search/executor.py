@@ -84,6 +84,7 @@ def decode_postings(
     terms: list[Term],
     need_positions: bool = False,
     docs_only: bool = False,
+    doc_filter: "np.ndarray | None" = None,
 ) -> DataFrame:
     """One scan+decode for all query terms → (qid, doc_id, tf, dl[, pos]).
 
@@ -94,6 +95,19 @@ def decode_postings(
     A term appearing TWICE in ``terms`` (e.g. the user query
     '+table +table') gets its postings emitted once per qid, so
     required-count checks and per-qid weights stay correct.
+
+    ``doc_filter`` (a sorted int64 array of doc ids, broadcast to the
+    executors) drops every non-matching posting INSIDE the kernel,
+    before the Arrow transfer back to the JVM. This is the candidate-
+    fetch primitive: when a hot term's contribution is needed only on
+    a known candidate set (MAXSCORE non-essential terms, conjunction
+    intersection against a rare required term), the blocks still
+    decode — delta/varbyte streams can't be entered mid-block — but
+    the rows that flow into the score aggregation shrink from df(term)
+    to |candidates ∩ postings|, often 100×+ fewer (BASELINE.md §6.1:
+    block-level pruning is provably impossible for uniformly scattered
+    mid terms — every block overlaps candidates — so row-level
+    filtering is the scale lever for those shapes).
     """
     qid_lists: dict[tuple[str, str], list[int]] = {}
     for i, t in enumerate(terms):
@@ -118,6 +132,15 @@ def decode_postings(
         cols.append("pos_bin")
     blocks = index.postings.where(cond).select(*cols)
     schema = _DECODE_POS_SCHEMA if need_positions else _DECODE_SCHEMA
+
+    flt_bc = None
+    if doc_filter is not None:
+        if need_positions:
+            raise ValueError("doc_filter is not supported with need_positions")
+        flt = np.asarray(doc_filter, dtype=np.int64)
+        # one sc.broadcast, not a closure capture: the candidate set can
+        # be MBs and must ship to each executor once, not per task
+        flt_bc = blocks.sparkSession.sparkContext.broadcast(flt)
 
     def decode(it):
         # Whole-batch decode: varbyte is self-delimiting, so the batch's
@@ -160,6 +183,20 @@ def decode_postings(
                 "dl": dls.astype(np.int32),
             }
             res = pd.DataFrame(data)
+            if flt_bc is not None and not need_positions:
+                # sorted-membership mask: rows off the candidate set
+                # never leave the kernel (cuts the Arrow transfer)
+                cand = flt_bc.value
+                idx = np.searchsorted(cand, docs)
+                idx[idx == len(cand)] = 0
+                keep_rows = (
+                    cand[idx] == docs
+                    if len(cand)
+                    else np.zeros(len(docs), dtype=bool)
+                )
+                res = res[keep_rows]
+                if len(res) == 0:
+                    continue
             if need_positions:
                 # positions: per-(doc) runs of tf gaps, runs reset at
                 # each doc — reconstruct flat then split per doc
@@ -1151,10 +1188,15 @@ def _block_meta(index: SparkIndex, terms: list[Term], weights: list[float]) -> D
 
 
 def _score_decoded(
-    index: SparkIndex, terms: list[Term], weights: list[float], blocks: DataFrame
+    index: SparkIndex,
+    terms: list[Term],
+    weights: list[float],
+    blocks: DataFrame,
+    doc_filter: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Decode a block subset and emit (qid, doc_id, _s) weighted BM25
-    partial contributions (one row per posting)."""
+    partial contributions (one row per posting). ``doc_filter`` keeps
+    only candidate docs' rows inside the decode kernel."""
     import types
 
     k1, b = float(BM25_K1), float(BM25_B)
@@ -1162,7 +1204,9 @@ def _score_decoded(
     a_arr = F.array(
         *[F.lit(float(index.avg_field_len(t.field))) for t in terms]
     )
-    decoded = decode_postings(types.SimpleNamespace(postings=blocks), terms)
+    decoded = decode_postings(
+        types.SimpleNamespace(postings=blocks), terms, doc_filter=doc_filter
+    )
     partial = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1)
@@ -1444,11 +1488,15 @@ def topk_wand(
             ess_dec = _score_decoded(
                 index, ess_t, ess_w, survivors.where(_terms_cond(ess_t))
             ).persist()
-            cand = ess_dec.select("doc_id").distinct()
-            cand_b = (
-                cand.select(
-                    (F.col("doc_id") / CAND_BUCKET).cast("long").alias("_cbkt")
-                ).distinct()
+            # candidate doc ids to the driver: bounded by ess_df ≤
+            # MAXSCORE_CAND_DF_BOUND (≤16 MB of int64) — Arrow collect,
+            # then a sorted array broadcast into the decode kernel
+            cand_ids = np.unique(
+                ess_dec.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+            )
+            cand_b = spark.createDataFrame(
+                [(int(x),) for x in np.unique(cand_ids // CAND_BUCKET)],
+                "_cbkt long",
             )
             non_keys = (
                 meta.where(_terms_cond(non_t))
@@ -1469,8 +1517,10 @@ def topk_wand(
             non_blocks = index.postings.where(_terms_cond(non_t)).join(
                 non_keys, meta_cols
             )
-            non_dec = _score_decoded(index, non_t, non_w, non_blocks).join(
-                F.broadcast(cand), "doc_id", "leftsemi"
+            # rows for non-candidate docs die inside the kernel — the
+            # Arrow transfer and the score shuffle carry candidates only
+            non_dec = _score_decoded(
+                index, non_t, non_w, non_blocks, doc_filter=cand_ids
             )
             out = (
                 ess_dec.unionByName(non_dec)
@@ -1501,6 +1551,12 @@ def topk_wand(
                     "essential": [
                         (terms[i].field, terms[i].text) for i in ess_ids
                     ],
+                    # block pruning can be impossible (uniform scatter:
+                    # every block overlaps candidates) while the row
+                    # cut is the real win — report both
+                    "rows_total": int(sum(index.doc_freq(t) for t in terms)),
+                    "rows_emitted": ess_dec.count() + non_dec.count(),
+                    "n_candidates": int(len(cand_ids)),
                 }
             return out, stats
     out = (
@@ -1578,6 +1634,123 @@ def _restrict_blocks_to_buckets(index: SparkIndex, terms: list[Term], bkts_df):
     )
 
 
+RAREST_FETCH_MAX_DF = 1_000_000  # run the conjunction as a selectivity-
+# ordered intersection (decode rarest required term → candidate ids →
+# doc-filtered fetch of the rest) when the rarest required df fits a
+# driver collect (≤8 MB of int64). Reference semantics anchor: the
+# reference intersects MultiTerm postings smallest-first
+# (src/Search/Query/MultiTerm.php:333-339); this is that plan shape,
+# distributed, with the candidate set pushed into the decode kernel.
+INTERSECT_BLOCK_RESTRICT_MAX_BKTS = 65_536  # build the metadata block-
+# overlap restriction only while the candidate bucket list stays a
+# cheap driver-side literal table; past it, candidates are dense enough
+# that every block overlaps anyway (kernel row filtering still applies)
+
+
+def _topk_and_intersect(
+    index: SparkIndex,
+    terms: list[Term],
+    weights: list[float],
+    req_ids: list[int],
+    pro_terms: list[Term],
+    rarest: Term,
+    k: int,
+    collect_stats: bool,
+) -> tuple[DataFrame, dict | None]:
+    """Exact conjunction top-k by candidate fetch: the rarest required
+    term's docs ARE the candidate superset (every hit contains it), so
+    decode it docs-only, collect the ids (df-bounded by
+    RAREST_FETCH_MAX_DF), and decode every term with the candidate set
+    as an in-kernel doc filter. Blocks of the other terms are first
+    pruned to those whose [doc_base, max_docid] span overlaps a
+    candidate bucket — exact from metadata alone; a block overlapping
+    no candidate's id cannot contain one. Cost shape at scale: one
+    full decode of the RAREST postings + a row-filtered fetch of the
+    hot terms whose output is |candidates ∩ postings| rows, not df —
+    the analogue of the reference's smallest-first intersection
+    (MultiTerm.php:333-339) where the '+rare +hot' plan never
+    materializes the hot list."""
+    spark = index.spark
+    cand_ids = np.unique(
+        decode_postings(index, [rarest], docs_only=True)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if len(cand_ids) == 0:
+        return empty, (
+            {"path": "intersect", "blocks_total": 0, "blocks_decoded": 0,
+             "rows_emitted": 0, "n_candidates": 0}
+            if collect_stats
+            else None
+        )
+    others = [t for t in terms if (t.field, t.text) != (rarest.field, rarest.text)]
+    cb = np.unique(cand_ids // CAND_BUCKET)
+    all_cond = _terms_cond(terms)
+    if others and len(cb) <= INTERSECT_BLOCK_RESTRICT_MAX_BKTS:
+        cb_df = spark.createDataFrame([(int(x),) for x in cb], "_cbkt long")
+        other_keys = (
+            index.postings.where(_terms_cond(others))
+            .select(*_WAND_META_COLS, "max_docid")
+            .withColumn(
+                "_cbkt",
+                F.explode(
+                    F.sequence(
+                        (F.col("doc_base") / CAND_BUCKET).cast("long"),
+                        (F.col("max_docid") / CAND_BUCKET).cast("long"),
+                    )
+                ),
+            )
+            .join(F.broadcast(cb_df), "_cbkt", "leftsemi")
+            .select(*_WAND_META_COLS)
+            .distinct()
+        )
+        rare_cond = _terms_cond([rarest])
+        blocks = index.postings.where(rare_cond).unionByName(
+            index.postings.where(_terms_cond(others)).join(
+                other_keys, _WAND_META_COLS
+            )
+        )
+    else:
+        blocks = index.postings.where(all_cond)
+    scored = _score_decoded(index, terms, weights, blocks, doc_filter=cand_ids)
+    n_req = len(req_ids)
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("_s").alias("score"),
+            F.countDistinct(
+                F.when(F.col("qid").isin(req_ids), F.col("qid"))
+            ).alias("_mr"),
+        )
+        .where(F.col("_mr") == n_req)
+        .drop("_mr")
+    )
+    if pro_terms:
+        # prohibited membership matters only ON candidates — doc-filter
+        # the docs-only decode, so a stop-word NOT costs |candidates|
+        # rows, then always broadcast (bounded by the candidate count)
+        pro_docs = (
+            decode_postings(index, pro_terms, docs_only=True, doc_filter=cand_ids)
+            .select("doc_id")
+            .distinct()
+        )
+        agg = agg.join(F.broadcast(pro_docs), "doc_id", "left_anti")
+    out = agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    stats = None
+    if collect_stats:
+        stats = {
+            "path": "intersect",
+            "blocks_total": index.postings.where(all_cond).count(),
+            "blocks_decoded": blocks.select(*_WAND_META_COLS).count(),
+            "rows_total": int(sum(index.doc_freq(t) for t in terms)),
+            "rows_emitted": scored.count(),
+            "n_candidates": int(len(cand_ids)),
+        }
+    return out, stats
+
+
 def topk_wand_and(
     index: SparkIndex,
     terms: list[Term],
@@ -1586,6 +1759,7 @@ def topk_wand_and(
     pro_terms: list[Term] | None = None,
     k: int = 10,
     collect_stats: bool = False,
+    intersect_max_df: int | None = None,
 ) -> tuple[DataFrame, dict | None]:
     """Distributed block-max pruning for REQUIRED conjunctions — the AND
     analogue of :func:`topk_wand`, the round-3 answer to the one query
@@ -1635,6 +1809,15 @@ def topk_wand_and(
     n_req = len(req_ids)
     if n_req == 0:
         raise ValueError("topk_wand_and needs at least one required term")
+    if intersect_max_df is None:
+        intersect_max_df = RAREST_FETCH_MAX_DF
+    rarest = min(
+        (terms[i] for i in req_ids), key=lambda t: index.doc_freq(t)
+    )
+    if index.doc_freq(rarest) <= intersect_max_df:
+        return _topk_and_intersect(
+            index, terms, weights, req_ids, pro_terms, rarest, k, collect_stats
+        )
     Q = WAND_BUCKET
 
     cond = _terms_cond(terms)
@@ -1744,6 +1927,7 @@ def topk_wand_and(
     stats = None
     if collect_stats:
         stats = {
+            "path": "bucket",
             "blocks_total": meta.count(),
             "blocks_decoded": survivors.select(*_WAND_META_COLS).count(),
             "theta": theta,

@@ -165,6 +165,90 @@ def test_wand_and_on_tiered_index(spark, tmp_path_factory):
     assert any(doc >= 40 for doc, _ in _ranked(s, "+text:alpha +text:beta", "off", k=30))
 
 
+# --------------------------------------- intersection fetch (round 3)
+# When the rarest required term's df fits a driver collect, the
+# conjunction runs as a selectivity-ordered intersection: decode the
+# rarest term, push its doc ids into the decode kernel as doc_filter,
+# fetch the other terms' rows on candidates only. Both branches of
+# topk_wand_and must return the exact top-k.
+
+
+def _and_query_parts(ix, qs):
+    from lucene_spark.search.executor import _wand_and_query
+    from lucene_spark.search.parser import parse_query
+    from lucene_spark.search.similarity import bm25_idf
+
+    q = parse_query(qs).rewrite(ix).optimize(ix)
+    scorable, pro = _wand_and_query(q)
+    terms = [t for t, _m, _r in scorable]
+    N = ix.n_docs
+    weights = [
+        q.boost * m * bm25_idf(ix.doc_freq(t), N) for t, m, _r in scorable
+    ]
+    req = [r for _t, _m, r in scorable]
+    return terms, weights, req, pro
+
+
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "+text:spark +text:index",
+        "+text:spark +text:index -text:vector",
+        "+text:spark text:index",
+    ],
+)
+def test_intersect_and_bucket_paths_agree(spark_index, qs):
+    from lucene_spark.search.executor import topk_wand_and
+
+    terms, weights, req, pro = _and_query_parts(spark_index, qs)
+    a, sa = topk_wand_and(
+        spark_index, terms, weights, req, pro, k=25,
+        collect_stats=True, intersect_max_df=0,
+    )
+    b, sb = topk_wand_and(
+        spark_index, terms, weights, req, pro, k=25, collect_stats=True
+    )
+    assert sa["path"] == "bucket" and sb["path"] == "intersect"
+    ra = sorted((r["doc_id"], round(r["score"], 9)) for r in a.collect())
+    rb = sorted((r["doc_id"], round(r["score"], 9)) for r in b.collect())
+    assert ra == rb
+    # every emitted row is on a candidate doc: emitted ≤ Σ df and the
+    # candidate count equals the rarest required term's df
+    assert sb["rows_emitted"] <= sb["rows_total"]
+    assert sb["n_candidates"] == min(
+        spark_index.doc_freq(t) for t, r in zip(terms, req) if r
+    )
+
+
+def test_doc_filter_kernel(spark_index):
+    """decode_postings(doc_filter=ids) ≡ decode-then-filter, and the
+    empty filter emits nothing."""
+    import numpy as np
+
+    from lucene_spark.search.executor import decode_postings
+
+    t = Term("spark", "text")
+    full = decode_postings(spark_index, [t]).collect()
+    docs = sorted({r["doc_id"] for r in full})
+    pick = np.asarray(docs[::3], dtype=np.int64)
+    got = decode_postings(spark_index, [t], doc_filter=pick).collect()
+    want = [r for r in full if r["doc_id"] in set(pick.tolist())]
+    key = lambda r: (r["qid"], r["doc_id"])  # noqa: E731
+    assert sorted((key(r), r["tf"], r["dl"]) for r in got) == sorted(
+        (key(r), r["tf"], r["dl"]) for r in want
+    )
+    assert (
+        decode_postings(
+            spark_index, [t], doc_filter=np.asarray([], dtype=np.int64)
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        decode_postings(
+            spark_index, [t], need_positions=True, doc_filter=pick
+        )
+
+
 # ---------------------------------------------------------- ADVICE #2
 def test_batch_base_falls_back_without_doc_base(spark, tmp_path):
     """Delta metas written by the pre-round-2 writer lack doc_base; the

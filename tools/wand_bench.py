@@ -181,6 +181,16 @@ def main() -> None:
                     1 - stats["blocks_decoded"] / max(1, stats["blocks_total"]), 4
                 ),
             }
+            # row-level stats (intersect / MAXSCORE paths): where block
+            # pruning is geometrically impossible, the row cut is the
+            # scale metric — emitted rows vs Σ df
+            for extra in ("path", "rows_total", "rows_emitted", "n_candidates"):
+                if stats.get(extra) is not None:
+                    out["queries"][name][extra] = stats[extra]
+            if stats.get("rows_total"):
+                out["queries"][name]["row_cut_rate"] = round(
+                    1 - stats["rows_emitted"] / max(1, stats["rows_total"]), 4
+                )
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
