@@ -49,7 +49,13 @@ from lucene_spark.ops.dedup import (
     simhash,
 )
 from lucene_spark.ops.multimodal import attach_binary_payload, extract_features
-from lucene_spark.ops.similarity import brute_force_topk, cosine_pairs, ivf_topk
+from lucene_spark.ops.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    ivf_topk,
+    ivf_topk_trained,
+    train_ivf_centroids,
+)
 from lucene_spark.ops.textstats import (
     BPE_PATTERN,
     FP_BASE,
@@ -1210,6 +1216,24 @@ ORDER BY cos DESC, id ASC LIMIT 10
 """
 
 
+def _ann_ivf_trained(spark, sf_dir):
+    """Trained-quantizer IVF (distributed spherical k-means) probed at
+    n_probe = n_centroids — the exactness case: probing every bucket
+    degenerates to brute force, so the whole trained path (Lloyd
+    training, bucket assignment, centroid ranking, probe-union scan)
+    is hash-checkable against the exact cosine oracle. The recall
+    curve at n_probe < k is measured in tests/test_round3b.py."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") > 0)
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", k=8, n_iter=3)
+    out = ivf_topk_trained(
+        emb, "vec_id", "embedding", cents, qv, 10, n_probe=max(len(cents), 1)
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("cos", 6).alias("cos")
+    )
+
+
 def _ann_pairs(spark, sf_dir):
     out = cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.3)
     return out.select(
@@ -1748,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _dd_simhash,
         "ann_topk": _ann_topk,
         "ann_ivf": _ann_ivf,
+        "ann_ivf_trained": _ann_ivf_trained,
         "ann_pairs": _ann_pairs,
         "ann_pairs_lsh": _ann_pairs_lsh,
         "tx_lang_id": _tx_lang,
@@ -1800,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_simhash": _DD_SIMHASH_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "ann_ivf_trained": _ANN_TOPK_SQL,
         "ann_pairs": _ANN_PAIRS_SQL,
         "ann_pairs_lsh": _ANN_LSH_SQL,
         "tx_lang_id": _TX_LANG_SQL,
