@@ -1216,6 +1216,38 @@ ORDER BY cos DESC, id ASC LIMIT 10
 """
 
 
+def _dd_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash+LSH pairs → connected components
+    (min-id label propagation). cluster_id = min doc id reachable
+    through the similarity graph — the dedup grouping a keep-one
+    policy acts on. Oracle: recursive-CTE transitive closure over the
+    same pairs in DuckDB."""
+    from lucene_spark.ops.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.2)
+    out = connected_components(pairs)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+_DD_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_DD_MINHASH_PAIRS_SQL}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a::BIGINT AS id, min(b)::BIGINT AS cluster_id FROM reach GROUP BY a
+"""
+
+
 def _ann_ivf_trained(spark, sf_dir):
     """Trained-quantizer IVF (distributed spherical k-means) probed at
     n_probe = n_centroids — the exactness case: probing every bucket
@@ -1768,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": _dd_exact,
         "dd_minhash_sig": _dd_minhash_sig,
         "dd_minhash_pairs": _dd_minhash_pairs,
+        "dd_clusters": _dd_clusters,
         "dd_ngram_jaccard": _dd_ngram_jaccard,
         "dd_simhash": _dd_simhash,
         "ann_topk": _ann_topk,
@@ -1821,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_exact": _DD_EXACT_SQL,
         "dd_minhash_sig": _DD_MINHASH_SIG_SQL,
         "dd_minhash_pairs": _DD_MINHASH_PAIRS_SQL,
+        "dd_clusters": _DD_CLUSTERS_SQL,
         "dd_ngram_jaccard": _DD_NGRAM_SQL,
         "dd_simhash": _DD_SIMHASH_SQL,
         "ann_topk": _ANN_TOPK_SQL,

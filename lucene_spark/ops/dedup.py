@@ -296,3 +296,85 @@ def simhash(
         F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
     )
     return agg.select("id", sh.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) over the similarity graph: cluster_id = the
+    MINIMUM doc id reachable from ``id`` — the step that turns near-dup
+    PAIRS (minhash_lsh_pairs / ngram_jaccard_pairs / rp_lsh_pairs
+    output) into dedup groups a keep-one policy can act on.
+
+    Min-label propagation: every vertex starts labeled with itself;
+    each round a vertex adopts the minimum label among itself and its
+    neighbors; fixpoint = components. Each round is one join + one
+    groupBy, both hash-partitioned on the vertex id, so at 10^9+ edges
+    a round is a single co-partitioned shuffle; `localCheckpoint`
+    truncates the lineage so the plan doesn't grow with rounds, and the
+    driver sees one change-count per round. Rounds needed = component
+    DIAMETER, and near-dup components are dense (dup groups, short
+    chains), so convergence is typically 2-5 rounds — the pathological
+    long-path graph is not the dedup shape. Raises after ``max_iter``
+    rounds rather than returning a non-converged (wrong) labeling.
+
+    Only vertices that appear in some pair are emitted; singleton docs
+    are their own cluster by definition (callers left-join and coalesce
+    to the doc's own id).
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.src == labels.id)
+            .select(F.col("dst").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("_chg")).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the minimum-id doc of each
+    cluster — rows not in any pair survive untouched. One broadcast-or-
+    shuffled left join against the (small) component table."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.join(comp, df[id_col] == comp["id"], "left")
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == df[id_col]))
+        .drop("id", "cluster_id")
+    )

@@ -385,3 +385,56 @@ def test_default_similarity_unaffected_after_custom(
         for r in s.search("text:spark OR text:index", k=0, score_mode="classic").collect()
     ]
     assert [g[0] for g in got] == [w[0] for w in want]
+
+
+# ------------------------------------------- connected components
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and a 2-cycle in one graph: every vertex labels
+    with its component's min id; convergence beats the raise guard."""
+    from lucene_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path(spark):
+    """A 12-vertex path needs ~diameter rounds — must still converge
+    and label everything with the global min."""
+    from lucene_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11, 0, -1)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {1}
+    assert len(got) == 12
+
+
+def test_dedup_keep_canonical(spark):
+    from lucene_spark.ops.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    # cluster {1,2,3} keeps 1; singletons 7 and 9 survive
+    assert kept == [1, 7, 9]
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from lucene_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, max_iter=1)
