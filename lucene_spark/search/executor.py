@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 
 from lucene_spark.codec.norms import NORM_TABLE
 from lucene_spark.codec.varbyte import vb_decode
-from lucene_spark.index.builder import SparkIndex
+from lucene_spark.index.builder import BLOCK_DOC_RANGE, SparkIndex
 from lucene_spark.search.query import (
     BooleanQuery,
     EmptyResult,
@@ -96,8 +96,8 @@ def decode_postings(
     '+table +table') gets its postings emitted once per qid, so
     required-count checks and per-qid weights stay correct.
 
-    ``doc_filter`` (a sorted int64 array of doc ids, broadcast to the
-    executors) drops every non-matching posting INSIDE the kernel,
+    ``doc_filter`` (an int64 array of doc ids — sorted here, broadcast
+    to the executors) drops every non-matching posting INSIDE the kernel,
     before the Arrow transfer back to the JVM. This is the candidate-
     fetch primitive: when a hot term's contribution is needed only on
     a known candidate set (MAXSCORE non-essential terms, conjunction
@@ -137,7 +137,7 @@ def decode_postings(
     if doc_filter is not None:
         if need_positions:
             raise ValueError("doc_filter is not supported with need_positions")
-        flt = np.asarray(doc_filter, dtype=np.int64)
+        flt = np.sort(np.asarray(doc_filter, dtype=np.int64))
         # one sc.broadcast, not a closure capture: the candidate set can
         # be MBs and must ship to each executor once, not per task
         flt_bc = blocks.sparkSession.sparkContext.broadcast(flt)
@@ -1751,6 +1751,158 @@ def _topk_and_intersect(
     return out, stats
 
 
+def topk_and_cogrouped(
+    index: SparkIndex,
+    terms: list[Term],
+    weights: list[float],
+    required: list[bool],
+    pro_terms: list[Term] | None = None,
+    k: int = 10,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict | None]:
+    """Exact conjunction top-k for HOT required terms by co-grouped
+    range intersection — the 100-TB plan shape for `+hot +hot [-hot]`
+    where every term's df defeats both the candidate collect
+    (:func:`_topk_and_intersect`) and bound-based block pruning
+    (uniform-impact corpora: the 40M transcripts smoke pruned 16% and
+    ran SLOWER than exact — BASELINE.md §7.2).
+
+    The builder splits every posting block at BLOCK_DOC_RANGE doc-id
+    boundaries (builder.py:544), so ALL of a doc's postings — every
+    term, every segment tier — live in blocks of the doc's own range.
+    Grouping the COMPRESSED block binaries by range therefore gives
+    each kernel call everything it needs to compute complete, final
+    scores for its docs: decode, intersect required terms, drop
+    prohibited docs, sum weighted BM25 partials, emit the range's
+    top-k. The shuffle carries varbyte binaries (~1-2 bytes/posting),
+    not exploded posting rows — at 40M turns that is ~50 MB moved for
+    a 30M-posting query instead of a 30M-row Arrow+exchange — and the
+    final global TakeOrdered sees ≤ k rows per range. Exactness needs
+    no bounds: every range is processed (presence filtering at bucket
+    granularity drops ranges where a required term is wholly absent —
+    metadata-only and exact).
+
+    Reference semantics anchor: MultiTerm required-conjunction scoring
+    (src/Search/Query/MultiTerm.php:333-401); this is its
+    doc-partitioned equivalent.
+    """
+    pro_terms = list(pro_terms or [])
+    spark = index.spark
+    k = max(int(k), 1)
+    req_ids = [i for i, r in enumerate(required) if r]
+    n_req = len(req_ids)
+    if n_req == 0:
+        raise ValueError("topk_and_cogrouped needs at least one required term")
+    k1, b = float(BM25_K1), float(BM25_B)
+    all_terms = list(terms) + pro_terms
+    # (field, term) → (qid, weight, avgdl); prohibited map to qid -1
+    qmap = {}
+    for i, t in enumerate(terms):
+        qmap[(t.field, t.text)] = (
+            i, float(weights[i]), float(index.avg_field_len(t.field))
+        )
+    for t in pro_terms:
+        qmap.setdefault((t.field, t.text), (-1, 0.0, 1.0))
+    req_set = set(req_ids)
+
+    # bucket-granular presence: ranges where some required term has no
+    # overlapping sub-range cannot host hits — drop their blocks before
+    # the shuffle (metadata-only; prunes when a required term is
+    # regionally absent, e.g. a delta tier or a clustered keyword)
+    bmeta = _bucketed_sub(
+        _sub_meta(index, [terms[i] for i in req_ids], [0.0] * n_req)
+    )
+    present = (
+        bmeta.select("_bkt", "field", "term")
+        .distinct()
+        .groupBy("_bkt")
+        .agg(F.countDistinct("field", "term").alias("_np"))
+        .where(F.col("_np") == n_req)
+        .select("_bkt")
+    )
+    cond = _terms_cond(all_terms)
+    # presence semi-join on METADATA keys only, binaries joined back
+    # after the distinct — never dedup or explode binary columns
+    keep_keys = (
+        index.postings.where(cond)
+        .select(*_WAND_META_COLS, "max_docid")
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
+                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
+                )
+            ),
+        )
+        .join(present, "_bkt", "leftsemi")
+        .select(*_WAND_META_COLS)
+        .distinct()
+    )
+    blocks = (
+        index.postings.where(cond)
+        .join(keep_keys, _WAND_META_COLS)
+        .select(
+            "field", "term", "doc_base", "n",
+            "docs_bin", "tfs_bin", "dls_bin",
+        )
+        .withColumn("_rng", (F.col("doc_base") / BLOCK_DOC_RANGE).cast("long"))
+    )
+
+    def kern(pdf):
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        qids, ws, avs = [], [], []
+        for f, t in zip(pdf["field"], pdf["term"]):
+            qi, w, a = qmap[(f, t)]
+            qids.append(qi); ws.append(w); avs.append(a)
+        qids = np.asarray(qids, np.int64)
+        ws = np.asarray(ws, np.float64)
+        avs = np.asarray(avs, np.float64)
+        n = pdf["n"].to_numpy(np.int64)
+        doc_base = pdf["doc_base"].to_numpy(np.int64)
+        starts = np.cumsum(n) - n
+        gaps = vb_decode(b"".join(pdf["docs_bin"])).astype(np.int64)
+        cs = np.cumsum(gaps)
+        prior = cs[starts] - gaps[starts]
+        base = doc_base - gaps[starts]
+        docs = cs - np.repeat(prior, n) + np.repeat(base, n)
+        tfs = vb_decode(b"".join(pdf["tfs_bin"])).astype(np.float64)
+        dls = vb_decode(b"".join(pdf["dls_bin"])).astype(np.float64)
+        row_q = np.repeat(qids, n)
+        row_w = np.repeat(ws, n)
+        row_a = np.repeat(avs, n)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sc = row_w * (tfs * (k1 + 1.0)) / (
+            tfs + k1 * ((1.0 - b) + b * dls / row_a)
+        )
+        score = np.zeros(len(uniq))
+        scorable = row_q >= 0
+        np.add.at(score, inv[scorable], sc[scorable])
+        nreq_of = np.zeros(len(uniq), np.int64)
+        req_rows = np.isin(row_q, list(req_set))
+        np.add.at(nreq_of, inv[req_rows], 1)
+        banned = np.zeros(len(uniq), bool)
+        banned[inv[row_q < 0]] = True
+        hit = (nreq_of == n_req) & ~banned
+        h_docs, h_sc = uniq[hit], score[hit]
+        if len(h_docs) > k:
+            order = np.lexsort((h_docs, -h_sc))[:k]
+            h_docs, h_sc = h_docs[order], h_sc[order]
+        return pd.DataFrame({"doc_id": h_docs, "score": h_sc})
+
+    hits = blocks.groupBy("_rng").applyInPandas(kern, "doc_id long, score double")
+    out = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    stats = None
+    if collect_stats:
+        stats = {
+            "path": "cogroup",
+            "blocks_total": index.postings.where(cond).count(),
+            "blocks_decoded": blocks.count(),
+        }
+    return out, stats
+
+
 def topk_wand_and(
     index: SparkIndex,
     terms: list[Term],
@@ -1760,6 +1912,7 @@ def topk_wand_and(
     k: int = 10,
     collect_stats: bool = False,
     intersect_max_df: int | None = None,
+    hot_strategy: str = "cogroup",
 ) -> tuple[DataFrame, dict | None]:
     """Distributed block-max pruning for REQUIRED conjunctions — the AND
     analogue of :func:`topk_wand`, the round-3 answer to the one query
@@ -1817,6 +1970,17 @@ def topk_wand_and(
     if index.doc_freq(rarest) <= intersect_max_df:
         return _topk_and_intersect(
             index, terms, weights, req_ids, pro_terms, rarest, k, collect_stats
+        )
+    # every required term hot: candidate collect is off the table, and
+    # bound-based pruning loses on uniform-impact corpora (16% pruned
+    # AND slower than exact at 40M — BASELINE.md §7.2). Default to the
+    # co-grouped range intersection, whose cost is one binary-level
+    # shuffle regardless of impact distribution. The r3 index format
+    # (sub_* columns present) guarantees the block/doc-range invariant
+    # the kernel needs; older indexes keep the bucket path.
+    if hot_strategy == "cogroup" and "sub_max_docs" in index.postings.columns:
+        return topk_and_cogrouped(
+            index, terms, weights, required, pro_terms, k, collect_stats
         )
     Q = WAND_BUCKET
 

@@ -163,6 +163,30 @@ def test_wand_and_on_tiered_index(spark, tmp_path_factory):
     for q in ["+text:alpha +text:beta", "+text:alpha +text:beta -text:gamma"]:
         _assert_and_parity(s, q, 30)
     assert any(doc >= 40 for doc, _ in _ranked(s, "+text:alpha +text:beta", "off", k=30))
+    # cogroup kernel across tiers: ranges key on doc_base, which is
+    # globally unique across tiers, so shared (seg_id, block_id) pairs
+    # cannot collide
+    from lucene_spark.search.executor import topk_wand_and
+
+    terms, weights, req, pro = _and_query_parts(
+        ix, "+text:alpha +text:beta -text:gamma"
+    )
+    c, st = topk_wand_and(
+        ix, terms, weights, req, pro, k=30,
+        collect_stats=True, intersect_max_df=0,
+    )
+    assert st["path"] == "cogroup"
+    exact = {
+        r["doc_id"]: r["score"]
+        for r in s.search(
+            "+text:alpha +text:beta -text:gamma", k=0,
+            score_mode="bm25", pruning="off",
+        ).collect()
+    }
+    got = {r["doc_id"]: r["score"] for r in c.collect()}
+    assert set(got) <= set(exact) and len(got) == min(30, len(exact))
+    for doc, sc_ in got.items():
+        assert sc_ == pytest.approx(exact[doc], abs=1e-9)
 
 
 # --------------------------------------- intersection fetch (round 3)
@@ -198,20 +222,29 @@ def _and_query_parts(ix, qs):
     ],
 )
 def test_intersect_and_bucket_paths_agree(spark_index, qs):
+    """All three conjunction strategies — bound-pruned buckets,
+    candidate intersection, co-grouped range kernel — return the same
+    exact top-k."""
     from lucene_spark.search.executor import topk_wand_and
 
     terms, weights, req, pro = _and_query_parts(spark_index, qs)
     a, sa = topk_wand_and(
         spark_index, terms, weights, req, pro, k=25,
-        collect_stats=True, intersect_max_df=0,
+        collect_stats=True, intersect_max_df=0, hot_strategy="bucket",
     )
     b, sb = topk_wand_and(
         spark_index, terms, weights, req, pro, k=25, collect_stats=True
     )
+    c, sc_ = topk_wand_and(
+        spark_index, terms, weights, req, pro, k=25,
+        collect_stats=True, intersect_max_df=0,
+    )
     assert sa["path"] == "bucket" and sb["path"] == "intersect"
+    assert sc_["path"] == "cogroup"
     ra = sorted((r["doc_id"], round(r["score"], 9)) for r in a.collect())
     rb = sorted((r["doc_id"], round(r["score"], 9)) for r in b.collect())
-    assert ra == rb
+    rc = sorted((r["doc_id"], round(r["score"], 9)) for r in c.collect())
+    assert ra == rb == rc
     # every emitted row is on a candidate doc: emitted ≤ Σ df and the
     # candidate count equals the rarest required term's df
     assert sb["rows_emitted"] <= sb["rows_total"]

@@ -122,6 +122,7 @@ def main():
             "q_bool_pruned_sec": round(t_bool_pruned, 2),
             "wand_and_blocks_total": and_stats["blocks_total"],
             "wand_and_blocks_decoded": and_stats["blocks_decoded"],
+            "wand_and_path": and_stats.get("path"),
             "q_conv_scoped_sec": round(t_scoped, 2),
             "cpus": cpus,
         }))

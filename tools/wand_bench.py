@@ -153,6 +153,20 @@ def main() -> None:
                 _df2, stats = topk_wand_and(
                     ix, terms, weights, req, pro, k=10, collect_stats=True
                 )
+                # co-grouped range intersection (the hot-hot default):
+                # time it separately and assert it matches exact too
+                t0 = time.time()
+                cg, _ = topk_wand_and(
+                    ix, terms, weights, req, pro, k=10, intersect_max_df=0
+                )
+                cg_rows = cg.collect()
+                t_cogroup = time.time() - t0
+                assert sorted(
+                    (round(r["score"], 9) for r in cg_rows), reverse=True
+                ) == sorted(
+                    (round(r["score"], 9) for r in pruned), reverse=True
+                ), f"{name}: cogroup != pruned"
+                stats["cogroup_sec"] = round(t_cogroup, 2)
             else:
                 terms = [q.term] if hasattr(q, "term") else list(q.terms)
                 weights = [bm25_idf(ix.doc_freq(t), N) for t in terms]
@@ -184,7 +198,9 @@ def main() -> None:
             # row-level stats (intersect / MAXSCORE paths): where block
             # pruning is geometrically impossible, the row cut is the
             # scale metric — emitted rows vs Σ df
-            for extra in ("path", "rows_total", "rows_emitted", "n_candidates"):
+            for extra in (
+                "path", "rows_total", "rows_emitted", "n_candidates", "cogroup_sec"
+            ):
                 if stats.get(extra) is not None:
                     out["queries"][name][extra] = stats[extra]
             if stats.get("rows_total"):
