@@ -84,3 +84,23 @@ def test_dedup_lsh_never_cross_joins(spark, spark_index):
     docs = spark_index.docs.select("doc_id", "text")
     p = _plan(minhash_lsh_pairs(docs, "doc_id", "text", 0.5))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cogroup_conjunction_plan_shape(spark_index):
+    """The co-grouped range intersection must shuffle the block
+    BINARIES once (hashpartitioning on _rng into one
+    FlatMapGroupsInPandas kernel) and never explode postings into a
+    row-level exchange — the property that makes hot-hot conjunctions
+    viable at 100 TB (shuffle bytes ≈ compressed posting lists)."""
+    from lucene_spark.search.executor import topk_and_cogrouped
+    from lucene_spark.search.similarity import bm25_idf
+
+    terms = [Term("spark", "text"), Term("index", "text")]
+    w = [bm25_idf(spark_index.doc_freq(t), spark_index.n_docs) for t in terms]
+    df, _ = topk_and_cogrouped(spark_index, terms, w, [True, True], k=10)
+    p = _plan(df)
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert "Exchange hashpartitioning(_rng" in p
+    # no per-posting exchange: doc_id exists only AFTER the kernel, so
+    # a doc_id hash exchange would mean posting rows were shuffled
+    assert "Exchange hashpartitioning(doc_id" not in p
