@@ -1802,7 +1802,12 @@ def topk_and_cogrouped(
             i, float(weights[i]), float(index.avg_field_len(t.field))
         )
     for t in pro_terms:
-        qmap.setdefault((t.field, t.text), (-1, 0.0, 1.0))
+        if (t.field, t.text) in qmap:
+            # scorable AND prohibited is contradictory here (the query
+            # layer routes that shape to the exact path) — refuse rather
+            # than silently ignore the prohibition
+            raise ValueError(f"term {t} is both scorable and prohibited")
+        qmap[(t.field, t.text)] = (-1, 0.0, 1.0)
     req_set = set(req_ids)
 
     # bucket-granular presence: ranges where some required term has no
@@ -1851,7 +1856,12 @@ def topk_and_cogrouped(
 
     def kern(pdf):
         if len(pdf) == 0:
-            return pd.DataFrame({"doc_id": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
         qids, ws, avs = [], [], []
         for f, t in zip(pdf["field"], pdf["term"]):
             qi, w, a = qmap[(f, t)]

@@ -416,3 +416,23 @@ def test_docs_lengths_jvm_path_rejects_unsupported(spark):
 
     assert _jvm_token_count(text_ci(), None) is None  # translit
     assert _jvm_token_count(Analyzer(r"[^\W\d_]+"), None) is None  # \W class
+
+
+def test_cogroup_missing_required_term_empty(spark_index):
+    from lucene_spark.search.executor import topk_and_cogrouped
+
+    terms = [Term("spark", "text"), Term("zzznotaterm", "text")]
+    out, _ = topk_and_cogrouped(
+        spark_index, terms, [1.0, 1.0], [True, True], k=10
+    )
+    assert out.count() == 0
+
+
+def test_cogroup_rejects_contradictory_signs(spark_index):
+    from lucene_spark.search.executor import topk_and_cogrouped
+
+    t = Term("spark", "text")
+    with pytest.raises(ValueError):
+        topk_and_cogrouped(
+            spark_index, [t], [1.0], [True], pro_terms=[t], k=5
+        )
