@@ -1791,8 +1791,10 @@ def topk_and_cogrouped(
     k = max(int(k), 1)
     req_ids = [i for i, r in enumerate(required) if r]
     n_req = len(req_ids)
-    if n_req == 0:
-        raise ValueError("topk_and_cogrouped needs at least one required term")
+    # n_req == 0 is the pure-disjunction degenerate case: no presence
+    # filter (every range can host a hit), hit = any scorable match not
+    # prohibited — the bounded-shuffle OR strategy for uniform-impact
+    # corpora where WAND cannot prune
     k1, b = float(BM25_K1), float(BM25_B)
     all_terms = list(terms) + pro_terms
     # (field, term) → (qid, weight, avgdl); prohibited map to qid -1
@@ -1810,49 +1812,46 @@ def topk_and_cogrouped(
         qmap[(t.field, t.text)] = (-1, 0.0, 1.0)
     req_set = set(req_ids)
 
-    # bucket-granular presence: ranges where some required term has no
-    # overlapping sub-range cannot host hits — drop their blocks before
-    # the shuffle (metadata-only; prunes when a required term is
-    # regionally absent, e.g. a delta tier or a clustered keyword)
-    bmeta = _bucketed_sub(
-        _sub_meta(index, [terms[i] for i in req_ids], [0.0] * n_req)
-    )
-    present = (
-        bmeta.select("_bkt", "field", "term")
-        .distinct()
-        .groupBy("_bkt")
-        .agg(F.countDistinct("field", "term").alias("_np"))
-        .where(F.col("_np") == n_req)
-        .select("_bkt")
-    )
     cond = _terms_cond(all_terms)
-    # presence semi-join on METADATA keys only, binaries joined back
-    # after the distinct — never dedup or explode binary columns
-    keep_keys = (
-        index.postings.where(cond)
-        .select(*_WAND_META_COLS, "max_docid")
-        .withColumn(
-            "_bkt",
-            F.explode(
-                F.sequence(
-                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
-                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
-                )
-            ),
+    src = index.postings.where(cond)
+    if n_req:
+        # bucket-granular presence: ranges where some required term has
+        # no overlapping sub-range cannot host hits — drop their blocks
+        # before the shuffle (metadata-only; prunes when a required term
+        # is regionally absent, e.g. a delta tier or a clustered keyword)
+        bmeta = _bucketed_sub(
+            _sub_meta(index, [terms[i] for i in req_ids], [0.0] * n_req)
         )
-        .join(present, "_bkt", "leftsemi")
-        .select(*_WAND_META_COLS)
-        .distinct()
-    )
-    blocks = (
-        index.postings.where(cond)
-        .join(keep_keys, _WAND_META_COLS)
-        .select(
-            "field", "term", "doc_base", "n",
-            "docs_bin", "tfs_bin", "dls_bin",
+        present = (
+            bmeta.select("_bkt", "field", "term")
+            .distinct()
+            .groupBy("_bkt")
+            .agg(F.countDistinct("field", "term").alias("_np"))
+            .where(F.col("_np") == n_req)
+            .select("_bkt")
         )
-        .withColumn("_rng", (F.col("doc_base") / BLOCK_DOC_RANGE).cast("long"))
-    )
+        # presence semi-join on METADATA keys only, binaries joined back
+        # after the distinct — never dedup or explode binary columns
+        keep_keys = (
+            src.select(*_WAND_META_COLS, "max_docid")
+            .withColumn(
+                "_bkt",
+                F.explode(
+                    F.sequence(
+                        (F.col("doc_base") / WAND_BUCKET).cast("long"),
+                        (F.col("max_docid") / WAND_BUCKET).cast("long"),
+                    )
+                ),
+            )
+            .join(present, "_bkt", "leftsemi")
+            .select(*_WAND_META_COLS)
+            .distinct()
+        )
+        src = src.join(keep_keys, _WAND_META_COLS)
+    blocks = src.select(
+        "field", "term", "doc_base", "n",
+        "docs_bin", "tfs_bin", "dls_bin",
+    ).withColumn("_rng", (F.col("doc_base") / BLOCK_DOC_RANGE).cast("long"))
 
     def kern(pdf):
         if len(pdf) == 0:

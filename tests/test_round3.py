@@ -436,3 +436,26 @@ def test_cogroup_rejects_contradictory_signs(spark_index):
         topk_and_cogrouped(
             spark_index, [t], [1.0], [True], pro_terms=[t], k=5
         )
+
+
+def test_cogroup_pure_disjunction_parity(spark_index):
+    """n_req=0 degenerate case: the cogroup kernel serves a pure OR
+    (bounded-shuffle strategy for uniform-impact corpora) and must
+    match the exact disjunction top-k."""
+    from lucene_spark.search.executor import topk_and_cogrouped
+    from lucene_spark.search.similarity import bm25_idf
+
+    terms = [Term("spark", "text"), Term("index", "text"), Term("merge", "text")]
+    N = spark_index.n_docs
+    w = [bm25_idf(spark_index.doc_freq(t), N) for t in terms]
+    out, _ = topk_and_cogrouped(
+        spark_index, terms, w, [False, False, False], k=25
+    )
+    got = sorted((r["doc_id"], round(r["score"], 9)) for r in out.collect())
+    s = SparkSearcher(spark_index)
+    exact = s.search(
+        "text:spark text:index text:merge", k=25,
+        score_mode="bm25", pruning="off",
+    ).collect()
+    want = sorted((r["doc_id"], round(r["score"], 9)) for r in exact)
+    assert got == want
