@@ -46,6 +46,39 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_encode_sliced(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Encode ONE array, return per-slice streams: slice i covers values
+    [bounds[i], bounds[i+1]). Byte-identical to calling :func:`vb_encode`
+    on each slice (varbyte is per-value independent), but the encode —
+    the dominant per-block cost in the segment inverter — runs once over
+    the whole segment instead of once per 128-posting block."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * max(len(bounds) - 1, 0)
+    nb = np.ones(v.size, dtype=np.int64)
+    x = v >> _SEVEN
+    while x.any():
+        nb += x > 0
+        x >>= _SEVEN
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    maxb = int(nb.max())
+    for j in range(maxb):
+        mask = nb > j
+        pos = starts[mask] + j
+        byte = (v[mask] >> np.uint64(7 * j)) & _MASK7
+        cont = np.where(nb[mask] - 1 > j, np.uint64(0x80), np.uint64(0))
+        out[pos] = (byte | cont).astype(np.uint8)
+    buf = out.tobytes()
+    # value-index bounds → byte offsets
+    byte_off = np.concatenate(([0], ends))[bounds]
+    return [
+        buf[int(a):int(z)] for a, z in zip(byte_off[:-1], byte_off[1:])
+    ]
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Decode a varbyte stream to uint64 array. Vectorized O(maxbytes)."""
     b = np.frombuffer(buf, dtype=np.uint8)

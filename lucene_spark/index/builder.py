@@ -72,7 +72,7 @@ from pyspark.sql.types import (
 
 from lucene_spark.analysis import Analyzer, default_analyzer
 from lucene_spark.codec.norms import encode_norm_array, length_norm
-from lucene_spark.codec.varbyte import vb_encode
+from lucene_spark.codec.varbyte import vb_encode, vb_encode_sliced
 
 BLOCK_SIZE = 128  # docs per posting block ≙ reference indexInterval
 # (AbstractSegmentWriter.php:30)
@@ -554,39 +554,74 @@ def _invert_segment(cfg: IndexConfig):
             pos_ends = np.cumsum(pos_counts)
             pos_starts = pos_ends - pos_counts
 
+            # whole-segment stream encoding: varbyte is per-value
+            # independent, so each stream encodes ONCE and slices at
+            # block boundaries (byte-identical to per-block encoding —
+            # the first doc gap of a block is always 1 because the
+            # stored doc_base is d[0] and decode subtracts the first
+            # gap back out). Per-block vb_encode was the dominant
+            # inverter cost (~150 µs/block × postings/128 blocks).
+            bounds = np.append(blk_starts, len(g_terms))
+            dgaps = np.empty(len(g_docs), dtype=np.int64)
+            if len(g_docs):
+                dgaps[0] = 1
+                dgaps[1:] = g_docs[1:] - g_docs[:-1]
+            dgaps[blk_starts] = 1
+            docs_bins = vb_encode_sliced(dgaps.astype(np.uint64), bounds)
+            tfs_bins = vb_encode_sliced(g_tfs.astype(np.uint64), bounds)
+            dls_bins = vb_encode_sliced(g_dls.astype(np.uint64), bounds)
+            pos_bins = None
+            if store_pos and kind == "text":
+                p_all = g_pos.astype(np.int64)
+                pgaps = np.diff(p_all, prepend=np.int64(0))
+                pgaps[pos_starts] = p_all[pos_starts]
+                pos_bounds = np.append(
+                    pos_starts[blk_starts],
+                    pos_ends[-1] if len(pos_ends) else 0,
+                )
+                pos_bins = vb_encode_sliced(pgaps.astype(np.uint64), pos_bounds)
+            cuts_cache: dict[int, np.ndarray] = {}
             for b in range(len(blk_starts)):
                 s, e = blk_starts[b], blk_ends[b]
                 term = g_terms[s]
                 d = g_docs[s:e]
                 t = g_tfs[s:e]
                 dl = g_dls[s:e]
-                imp_tf, imp_dl = pareto_impacts(t, dl)
                 # sub-range summaries: WAND_SUBS equal posting runs,
                 # each with its own doc span and Pareto (tf, dl)
-                # frontier (exact per-sub max impact)
-                cuts = np.unique(
-                    np.linspace(0, e - s, WAND_SUBS + 1).astype(np.int64)
-                )
+                # frontier (exact per-sub max impact). The block-level
+                # frontier is the pareto of the sub-frontier union —
+                # identical to pareto(whole block) since dominance
+                # within a sub implies dominance in the block
+                cuts = cuts_cache.get(e - s)
+                if cuts is None:
+                    cuts = np.unique(
+                        np.linspace(0, e - s, WAND_SUBS + 1).astype(np.int64)
+                    )
+                    cuts_cache[e - s] = cuts
                 sub_min, sub_max, sub_itf, sub_idl = [], [], [], []
+                f_tf, f_dl = [], []
                 for a, z in zip(cuts[:-1], cuts[1:]):
                     sub_min.append(int(d[a]))
                     sub_max.append(int(d[z - 1]))
                     s_tf, s_dl = pareto_impacts(t[a:z], dl[a:z])
-                    sub_itf.append([int(x) for x in s_tf])
-                    sub_idl.append([int(x) for x in s_dl])
-                base = int(d[0]) - 1
-                docs_bin = vb_encode(np.diff(d, prepend=np.int64(base)).astype(np.uint64))
-                tfs_bin = vb_encode(t.astype(np.uint64))
-                dls_bin = vb_encode(dl.astype(np.uint64))
-                if store_pos and kind == "text":
-                    ps, pe = pos_starts[s], pos_ends[e - 1]
-                    p = g_pos[ps:pe].astype(np.int64)
-                    gaps = np.diff(p, prepend=np.int64(0))
-                    rs = (pos_starts[s:e] - pos_starts[s]).astype(np.int64)
-                    gaps[rs] = p[rs]
-                    pos_bin = vb_encode(gaps.astype(np.uint64))
+                    sub_itf.append(s_tf.tolist())
+                    sub_idl.append(s_dl.tolist())
+                    f_tf.append(s_tf)
+                    f_dl.append(s_dl)
+                if len(f_tf) == 1:
+                    imp_tf, imp_dl = f_tf[0], f_dl[0]
+                else:
+                    imp_tf, imp_dl = pareto_impacts(
+                        np.concatenate(f_tf), np.concatenate(f_dl)
+                    )
+                docs_bin = docs_bins[b]
+                tfs_bin = tfs_bins[b]
+                dls_bin = dls_bins[b]
+                if pos_bins is not None:
+                    pos_bin = pos_bins[b]
                 elif store_pos and kind == "keyword":
-                    pos_bin = vb_encode(np.zeros(len(d), dtype=np.uint64))
+                    pos_bin = b"\x00" * (e - s)  # vb(0) is one 0x00 byte
                 else:
                     pos_bin = b""
                 out_rows.append(
