@@ -79,9 +79,12 @@ BLOCK_SIZE = 128  # docs per posting block ≙ reference indexInterval
 BLOCK_DOC_RANGE = 8192  # max doc-id span per block: sparse terms split
 # at range boundaries so block-max bounds stay doc-local (see
 # _invert_segment packing comment)
-WAND_SUBS = 4  # sub-range summaries per posting block (32 postings
-# each at full blocks): per-sub (doc span, max_tf, min_dl) ceilings
-# localize WAND bounds below block granularity
+WAND_SUBS = int(os.environ.get("LUCENE_SPARK_WAND_SUBS", "4"))
+# sub-range summaries per posting block (32 postings each at full
+# blocks): per-sub (doc span, Pareto frontier) ceilings localize WAND
+# bounds below block granularity. Env-tunable: 1 disables sub-range
+# granularity (blocks become their own single sub-range) and shrinks
+# the nested metadata columns for write-heavy workloads.
 MAX_BUILD_CHUNKS = 512  # cap on serial resume-chunk jobs in phase A
 
 
