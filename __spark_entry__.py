@@ -415,6 +415,47 @@ def _ft_wand_and(spark, sf_dir):
     )
 
 
+def _cogroup_call(spark, sf_dir, required: list[bool], pro: list[str]):
+    """Shared driver for the cogroup gates: score `table`/`spark`
+    (+ optional prohibition) through :func:`topk_and_cogrouped` — the
+    co-grouped range-intersection kernel that is the hot-conjunction /
+    uniform-impact-OR default at scale (BASELINE.md §7.1). At sf0.01
+    the normal router picks the intersect path (rarest df ≤ bound), so
+    these gates call the kernel DIRECTLY: the driver's hash compare is
+    the only end-to-end oracle check the cogroup plan gets."""
+    from lucene_spark.search.executor import topk_and_cogrouped
+    from lucene_spark.search.similarity import bm25_idf
+
+    ix = _index_for(spark, sf_dir)
+    terms = [Term("table", "text"), Term("spark", "text")]
+    weights = [bm25_idf(ix.doc_freq(t), ix.n_docs) for t in terms]
+    pro_terms = [Term(t, "text") for t in pro]
+
+    def rows_fn(m):
+        out, _ = topk_and_cogrouped(
+            ix, terms, weights, required, pro_terms, k=m
+        )
+        return out.collect()
+
+    return _rounded_topk(spark, rows_fn)
+
+
+def _ft_cogroup_and(spark, sf_dir):
+    """`+table +spark -vector` through the co-grouped range kernel
+    (topk_and_cogrouped, n_req=2): one binary-level shuffle grouped by
+    BLOCK_DOC_RANGE doc range, per-range decode+intersect+score+top-k
+    inside applyInPandas. Same oracle as ft_wand_and."""
+    return _cogroup_call(spark, sf_dir, [True, True], ["vector"])
+
+
+def _ft_cogroup_or(spark, sf_dir):
+    """`table spark` as a PURE disjunction through the cogroup kernel
+    (n_req=0 degenerate case — the bounded-shuffle OR strategy for
+    uniform-impact corpora where WAND bounds cannot prune). Same oracle
+    as ft_bool_or restricted to the two terms."""
+    return _cogroup_call(spark, sf_dir, [False, False], [])
+
+
 def _ft_and_default(spark, sf_dir):
     """'table spark' parsed with default_operator=AND — bare terms
     required (QueryParser::setDefaultOperator(B_AND)); same oracle as
@@ -554,6 +595,7 @@ _FT_AND_SQL = _sum_topk_sql(
     "term IN ('table','spark')", required=["table", "spark"]
 )
 _FT_OR_SQL = _sum_topk_sql("term IN ('table','spark','vector')")
+_FT_COGROUP_OR_SQL = _sum_topk_sql("term IN ('table','spark')")
 _FT_NOT_SQL = _sum_topk_sql(
     "term = 'table'", required=["table"], prohibited=["vector"]
 )
@@ -1789,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_topk": _ft_wand,
         "ft_wand_or": _ft_wand_or,
         "ft_wand_and": _ft_wand_and,
+        "ft_cogroup_and": _ft_cogroup_and,
+        "ft_cogroup_or": _ft_cogroup_or,
         "ft_and_default": _ft_and_default,
         "ft_presort_limit": _ft_presort_limit,
         "ft_boosted_classic": _ft_boosted_classic,
@@ -1842,6 +1886,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_topk": _FT_TERM_SQL,
         "ft_wand_or": _FT_OR_SQL,
         "ft_wand_and": _FT_WAND_AND_SQL,
+        "ft_cogroup_and": _FT_WAND_AND_SQL,
+        "ft_cogroup_or": _FT_COGROUP_OR_SQL,
         "ft_and_default": _FT_AND_SQL,
         "ft_phrase_sloppy": _FT_SLOPPY_SQL,
         "ft_presort_limit": _FT_PRESORT_SQL,
