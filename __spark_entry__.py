@@ -345,6 +345,38 @@ def _ft_phrase_sloppy(spark, sf_dir):
     return _searched(spark, sf_dir, '"fast value"~2')
 
 
+def _phrase_cogroup_call(spark, sf_dir, qs: str):
+    """Shared driver for the phrase-cogroup gates: run ``qs`` through
+    :func:`topk_phrase_cogrouped` — the co-grouped range kernel that is
+    the hot-hot phrase plan at scale (positions shuffled as varbyte
+    binaries, freq+score+top-k per range in one applyInPandas). Called
+    DIRECTLY (not via routing) so the kernel itself is hash-verified
+    against the DuckDB oracle."""
+    from lucene_spark.search.executor import topk_phrase_cogrouped
+    from lucene_spark.search.parser import parse_query
+
+    ix = _index_for(spark, sf_dir)
+    q = parse_query(qs).rewrite(ix).optimize(ix)
+
+    def rows_fn(m):
+        out, _ = topk_phrase_cogrouped(ix, q, k=m)
+        return out.collect()
+
+    return _rounded_topk(spark, rows_fn)
+
+
+def _ft_phrase_cogroup(spark, sf_dir):
+    """'"fast value"' through the cogroup phrase kernel — same oracle
+    as ft_phrase."""
+    return _phrase_cogroup_call(spark, sf_dir, '"fast value"')
+
+
+def _ft_phrase_sloppy_cogroup(spark, sf_dir):
+    """'"fast value"~2' through the cogroup phrase kernel — same
+    (closed-form queue) oracle as ft_phrase_sloppy."""
+    return _phrase_cogroup_call(spark, sf_dir, '"fast value"~2')
+
+
 def _rounded_topk(spark, rows_fn, k: int = TOPK) -> DataFrame:
     """Re-rank a full-precision candidate margin on 6-decimal ROUNDED
     scores (the oracle's ordering), WIDENING the margin until the
@@ -1822,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_not": _ft_bool_not,
         "ft_phrase": _ft_phrase,
         "ft_phrase_sloppy": _ft_phrase_sloppy,
+        "ft_phrase_cogroup": _ft_phrase_cogroup,
+        "ft_phrase_sloppy_cogroup": _ft_phrase_sloppy_cogroup,
         "ft_wildcard": _ft_wildcard,
         "ft_range": _ft_range,
         "ft_fuzzy": _ft_fuzzy,
@@ -1874,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bool_or": _FT_OR_SQL,
         "ft_bool_not": _FT_NOT_SQL,
         "ft_phrase": _FT_PHRASE_SQL,
+        "ft_phrase_cogroup": _FT_PHRASE_SQL,
         "ft_wildcard": _FT_WILDCARD_SQL,
         "ft_range": _FT_RANGE_SQL,
         "ft_fuzzy": _FT_FUZZY_SQL,
@@ -1890,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_cogroup_or": _FT_COGROUP_OR_SQL,
         "ft_and_default": _FT_AND_SQL,
         "ft_phrase_sloppy": _FT_SLOPPY_SQL,
+        "ft_phrase_sloppy_cogroup": _FT_SLOPPY_SQL,
         "ft_presort_limit": _FT_PRESORT_SQL,
         "ft_boosted_classic": _FT_BOOSTED_SQL,
         "ft_wildcard_widevocab": _FT_WIDE_SQL,

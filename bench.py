@@ -118,6 +118,20 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings["q_wand_term"] = round(min(runs), 3)
 
+        # pruned hot conjunction (round-3 path): at this sf the router
+        # picks the selectivity-ordered intersection (rarest df under
+        # the collect bound); at 40M+ the same call routes to the
+        # co-grouped range kernel — both measured vs q_not's exact plan
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            searcher.search(
+                "+table +spark -vector", k=10, score_mode="bm25",
+                default_field="text", pruning="force",
+            ).collect()
+            runs.append(time.time() - t0)
+        timings["q_bool_pruned"] = round(min(runs), 3)
+
         # conversation-scoped conjunction: the rare conv_id keyword term
         # engages range pruning, so the hot text term decodes only the
         # conversation's block range

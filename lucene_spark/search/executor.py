@@ -268,6 +268,127 @@ def dump_postings(index: SparkIndex, field: str) -> DataFrame:
     return blocks.mapInPandas(decode, schema)
 
 
+def _phrase_freq_batch(
+    qid_cache: dict,
+    slot_qid: list[int],
+    offsets: list[int],
+    slop: int,
+    n_rows: int,
+    sf,
+    sf_np,
+    default_sloppy: bool,
+    two_slot_delta,
+) -> "np.ndarray":
+    """Per-row phrase frequency over flat position arrays — the ONE
+    kernel body shared by the phrase pandas UDF (:meth:`_phrase_df`)
+    and the co-grouped phrase kernel (:func:`topk_phrase_cogrouped`),
+    so both plans score BIT-identically (accumulation order included).
+
+    ``qid_cache[qid] = (rows, flat, lens, bounds)``: ``rows`` the row
+    index per position, ``flat`` the positions, ``lens`` per-row
+    position counts, ``bounds`` row boundaries into ``flat`` (row r's
+    positions are ``flat[bounds[r]:bounds[r+1]]``, ascending).
+
+    slop == 0 — batch-vectorized exact phrase: an alignment at start s
+    exists iff s ∈ ∩_i (positions_i − offset_i); encode (row,
+    shifted_pos) as one int64 key and reduce with sort-based np.isin —
+    no per-row Python (Phrase.php:378-415 semantics).
+
+    slop > 0 — vectorized NECESSARY-condition prefilter (the exact
+    kernel's intersection dilated by 2·slop+1 shifts), then the
+    quirk-faithful candidate queue only on surviving rows. The
+    dominant 2-slot shape ("a b"~n) is vectorized: single-position
+    docs compute in one batched expression, multi-position docs run
+    sloppy_phrase_freq_2slot (bit-identical to the Python queue,
+    fuzz-asserted in test_properties); other slot counts fall back to
+    phrase.sloppy_phrase_freq — the single source of truth shared
+    with the model (Phrase.php:425-491 semantics).
+    """
+    n_slots = len(slot_qid)
+    if slop == 0:
+        slot_keys = []
+        for i in range(n_slots):
+            rows, flat, _l, _b = qid_cache[slot_qid[i]]
+            slot_keys.append(
+                (rows << np.int64(32)) | (flat - offsets[i] + 2048)
+            )
+        common = slot_keys[0]
+        for i in range(1, n_slots):
+            common = common[np.isin(common, slot_keys[i])]
+        freq = np.zeros(n_rows, dtype=np.float64)
+        if len(common):
+            rws, counts = np.unique(common >> np.int64(32), return_counts=True)
+            freq[rws] = counts
+        return freq
+
+    from lucene_spark.search.phrase import (
+        sloppy_phrase_freq,
+        sloppy_phrase_freq_2slot,
+    )
+
+    bias = slop + max(offsets) + 2  # keys stay positive
+    width = 2 * slop + 1
+    shifts = np.arange(-slop, slop + 1, dtype=np.int64)
+    common = None
+    for i in range(n_slots):
+        rows, flat, _lens, _b = qid_cache[slot_qid[i]]
+        starts = flat - offsets[i] + bias
+        keys = (np.repeat(rows, width) << np.int64(32)) | (
+            np.repeat(starts, width) + np.tile(shifts, len(flat))
+        )
+        keys = np.unique(keys)
+        common = keys if common is None else common[np.isin(common, keys)]
+    out = np.zeros(n_rows, dtype=np.float64)
+    if common is None or not len(common):
+        return out
+    rs = np.unique(common >> np.int64(32))
+    if two_slot_delta is not None and default_sloppy:
+        _ra, fa, la, ba = qid_cache[slot_qid[0]]
+        _rb, fb, lb, bb = qid_cache[slot_qid[1]]
+        single = rs[(la[rs] == 1) & (lb[rs] == 1)]
+        if len(single):
+            d = np.abs(fb[bb[single]] - fa[ba[single]] - two_slot_delta)
+            out[single] = np.where(d <= slop, sf_np(d), 0.0)
+        for r in rs[(la[rs] != 1) | (lb[rs] != 1)]:
+            out[r] = sloppy_phrase_freq_2slot(
+                fa[ba[r] : ba[r + 1]],
+                fb[bb[r] : bb[r + 1]],
+                two_slot_delta,
+                slop,
+            )
+    else:
+        for r in rs:
+            positions = [
+                list(
+                    qid_cache[slot_qid[i]][1][
+                        qid_cache[slot_qid[i]][3][int(r)] : qid_cache[
+                            slot_qid[i]
+                        ][3][int(r) + 1]
+                    ]
+                )
+                for i in range(n_slots)
+            ]
+            out[int(r)] = sloppy_phrase_freq(positions, offsets, slop, sf=sf)
+    return out
+
+
+def _uniq_slots(terms: list[Term]) -> tuple[list[Term], list[int]]:
+    """(unique terms, slot→unique index) for a phrase's term list —
+    duplicate phrase words share one decoded term."""
+    uniq: list[Term] = []
+    slot_qid: list[int] = []
+    for t in terms:
+        key = (t.field, t.text)
+        for j, u in enumerate(uniq):
+            if (u.field, u.text) == key:
+                slot_qid.append(j)
+                break
+        else:
+            slot_qid.append(len(uniq))
+            uniq.append(t)
+    return uniq, slot_qid
+
+
 # ------------------------------------------------------------- searcher
 
 PROHIBITED_BROADCAST_MAX_DF = 2_000_000  # ≈16 MB of doc ids — broadcast
@@ -434,6 +555,16 @@ class SparkSearcher:
             and score_mode == "bm25"
             and self.index.tombstones is None  # bounds ignore deletes
         ):
+            if (
+                isinstance(q, PhraseQuery)
+                and "sub_max_docs" in self.index.postings.columns
+            ):
+                uniq, _slots = _uniq_slots(q.terms)
+                self.index.prefetch_terms(uniq)
+                total_df = sum(self.index.doc_freq(t) for t in uniq)
+                if pruning == "force" or total_df >= AUTO_PRUNING_MIN_DF:
+                    out, _stats = topk_phrase_cogrouped(self.index, q, k=k)
+                    return out
             cand = _wand_terms(q)
             if cand is not None:
                 terms = [t for t, _b in cand]
@@ -780,17 +911,7 @@ class SparkSearcher:
         N = ix.n_docs
         sim = get_default()
         # unique terms; each phrase slot maps to its unique term's qid
-        uniq: list[Term] = []
-        slot_qid: list[int] = []
-        for t in q.terms:
-            key = (t.field, t.text)
-            for j, u in enumerate(uniq):
-                if (u.field, u.text) == key:
-                    slot_qid.append(j)
-                    break
-            else:
-                slot_qid.append(len(uniq))
-                uniq.append(t)
+        uniq, slot_qid = _uniq_slots(q.terms)
         n_uniq = len(uniq)
         # a phrase is a conjunction of its terms: when the rarest one is
         # selective, restrict every term's (positions-bearing, so
@@ -818,145 +939,40 @@ class SparkSearcher:
         slop = q.slop
         n_slots = len(q.terms)
 
-        if slop == 0:
-            # Batch-vectorized exact phrase: an alignment at start s
-            # exists iff s ∈ ∩_i (positions_i − offset_i). Encode
-            # (row, shifted_pos) as one int64 key and reduce the whole
-            # Arrow batch with sort-based np.isin — no per-row Python.
-            @F.pandas_udf(DoubleType())
-            def freq_udf(*pos_cols: pd.Series) -> pd.Series:
-                n_rows = len(pos_cols[0])
-                slot_keys = []
-                qid_cache: dict[int, tuple] = {}
-                for j in set(slot_qid):
-                    col = pos_cols[j]
-                    lens = col.map(len).to_numpy(np.int64)
-                    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-                    flat = (
-                        np.concatenate(col.to_numpy())
-                        if lens.sum()
-                        else np.array([], dtype=np.int64)
-                    ).astype(np.int64)
-                    qid_cache[j] = (rows, flat)
-                for i in range(n_slots):
-                    rows, flat = qid_cache[slot_qid[i]]
-                    slot_keys.append(
-                        (rows << np.int64(32)) | (flat - offsets[i] + 2048)
-                    )
-                common = slot_keys[0]
-                for i in range(1, n_slots):
-                    common = common[np.isin(common, slot_keys[i])]
-                freq = np.zeros(n_rows, dtype=np.float64)
-                if len(common):
-                    rows, counts = np.unique(common >> np.int64(32), return_counts=True)
-                    freq[rows] = counts
-                return pd.Series(freq)
+        # similarity hooks captured HERE (driver) so workers score with
+        # the similarity that planned the query; the 2-slot closed form
+        # is derived from the default 1/(d+1) and only applies then
+        two_slot_delta = (
+            offsets[1] - offsets[0] if n_slots == 2 and slop else None
+        )
+        sf, sf_np = sim.sloppy_freq, sim.sloppy_freq_np
+        default_sloppy = sim.is_default_sloppy()
 
-        else:
-            # Sloppy phrases (any slot count): vectorized
-            # NECESSARY-condition prefilter, then the quirk-faithful
-            # candidate queue (phrase.sloppy_phrase_freq — the single
-            # source of truth shared with the model, so scores are
-            # BIT-identical to the reference semantics, accumulation
-            # order included) only on surviving rows. A doc can have
-            # freq > 0 only if some integer start has every slot i
-            # holding a position within
-            # [start+offsets[i]−slop, start+offsets[i]+slop] (min
-            # candidate distance ≤ slop bounds each per-term deviation).
-            # That is the exact kernel's intersection dilated by
-            # (2·slop+1) shifts — same int64-key np.isin reduction — so
-            # the per-row Python queue runs ONLY on docs that can
-            # actually match, not on every candidate row (the round-1
-            # anti-pattern). A fully-vectorized closed form exists for
-            # two slots (see the ft_phrase_sloppy oracle SQL in
-            # __spark_entry__.py, fuzz-verified) but sums pair
-            # contributions in a different float order than the queue,
-            # breaking exact rank parity on near-tied classic scores —
-            # parity wins; the prefilter keeps the Python off the fast
-            # path.
-            from lucene_spark.search.phrase import (
-                sloppy_phrase_freq,
-                sloppy_phrase_freq_2slot,
+        @F.pandas_udf(DoubleType())
+        def freq_udf(*pos_cols: pd.Series) -> pd.Series:
+            n_rows = len(pos_cols[0])
+            qid_cache: dict[int, tuple] = {}
+            for j in set(slot_qid):
+                col = pos_cols[j]
+                lens = col.map(len).to_numpy(np.int64)
+                rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+                flat = (
+                    np.concatenate(col.to_numpy())
+                    if lens.sum()
+                    else np.array([], dtype=np.int64)
+                ).astype(np.int64)
+                # row boundaries into flat: row r's positions are
+                # flat[bounds[r]:bounds[r+1]] — O(1) slices replace
+                # the pandas .iloc lookups of the round-2 kernel
+                bounds = np.zeros(n_rows + 1, dtype=np.int64)
+                np.cumsum(lens, out=bounds[1:])
+                qid_cache[j] = (rows, flat, lens, bounds)
+            return pd.Series(
+                _phrase_freq_batch(
+                    qid_cache, slot_qid, offsets, slop, n_rows,
+                    sf, sf_np, default_sloppy, two_slot_delta,
+                )
             )
-
-            bias = slop + max(offsets) + 2  # keys stay positive
-            two_slot_delta = offsets[1] - offsets[0] if n_slots == 2 else None
-            # similarity hooks captured HERE (driver) so workers score
-            # with the similarity that planned the query; the 2-slot
-            # closed form is derived from the default 1/(d+1) and only
-            # applies then
-            sf, sf_np = sim.sloppy_freq, sim.sloppy_freq_np
-            default_sloppy = sim.is_default_sloppy()
-
-            @F.pandas_udf(DoubleType())
-            def freq_udf(*pos_cols: pd.Series) -> pd.Series:
-                n_rows = len(pos_cols[0])
-                qid_cache: dict[int, tuple] = {}
-                for j in set(slot_qid):
-                    col = pos_cols[j]
-                    lens = col.map(len).to_numpy(np.int64)
-                    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-                    flat = (
-                        np.concatenate(col.to_numpy())
-                        if lens.sum()
-                        else np.array([], dtype=np.int64)
-                    ).astype(np.int64)
-                    # row boundaries into flat: row r's positions are
-                    # flat[bounds[r]:bounds[r+1]] — O(1) slices replace
-                    # the pandas .iloc lookups of the round-2 kernel
-                    bounds = np.zeros(n_rows + 1, dtype=np.int64)
-                    np.cumsum(lens, out=bounds[1:])
-                    qid_cache[j] = (rows, flat, lens, bounds)
-                width = 2 * slop + 1
-                shifts = np.arange(-slop, slop + 1, dtype=np.int64)
-                common = None
-                for i in range(n_slots):
-                    rows, flat, _lens, _b = qid_cache[slot_qid[i]]
-                    starts = flat - offsets[i] + bias
-                    keys = (np.repeat(rows, width) << np.int64(32)) | (
-                        np.repeat(starts, width) + np.tile(shifts, len(flat))
-                    )
-                    keys = np.unique(keys)
-                    common = keys if common is None else common[np.isin(common, keys)]
-                out = np.zeros(n_rows, dtype=np.float64)
-                if common is None or not len(common):
-                    return pd.Series(out)
-                rs = np.unique(common >> np.int64(32))
-                # survivors run the quirk-faithful queue semantics. The
-                # dominant 2-slot shape ("a b"~n) is vectorized: docs
-                # with one position per term (the overwhelming majority)
-                # compute in ONE batched expression; multi-position docs
-                # reconstruct the queue's contribution sequence in numpy
-                # (sloppy_phrase_freq_2slot — BIT-identical to the
-                # Python queue, fuzz-asserted in test_properties). No
-                # per-candidate Python runs even on hot-hot term pairs
-                # where most candidates survive the prefilter.
-                if two_slot_delta is not None and default_sloppy:
-                    _ra, fa, la, ba = qid_cache[slot_qid[0]]
-                    _rb, fb, lb, bb = qid_cache[slot_qid[1]]
-                    single = rs[(la[rs] == 1) & (lb[rs] == 1)]
-                    if len(single):
-                        d = np.abs(
-                            fb[bb[single]] - fa[ba[single]] - two_slot_delta
-                        )
-                        out[single] = np.where(d <= slop, sf_np(d), 0.0)
-                    for r in rs[(la[rs] != 1) | (lb[rs] != 1)]:
-                        out[r] = sloppy_phrase_freq_2slot(
-                            fa[ba[r] : ba[r + 1]],
-                            fb[bb[r] : bb[r + 1]],
-                            two_slot_delta,
-                            slop,
-                        )
-                else:
-                    for r in rs:
-                        positions = [
-                            list(pos_cols[slot_qid[i]].iloc[int(r)])
-                            for i in range(n_slots)
-                        ]
-                        out[int(r)] = sloppy_phrase_freq(
-                            positions, offsets, slop, sf=sf
-                        )
-                return pd.Series(out)
 
         # exactly ONE ArrowEvalPython per phrase plan: Catalyst pushes
         # the freq>0 filter below the score projection and would
@@ -1906,6 +1922,186 @@ def topk_and_cogrouped(
     if collect_stats:
         stats = {
             "path": "cogroup",
+            "blocks_total": index.postings.where(cond).count(),
+            "blocks_decoded": blocks.count(),
+        }
+    return out, stats
+
+
+def topk_phrase_cogrouped(
+    index: SparkIndex,
+    q,
+    k: int = 10,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict | None]:
+    """Exact BM25 phrase top-k by co-grouped range intersection — the
+    100-TB plan for HOT-hot phrases (`"fast value"` where both words
+    are stop-word-scale). The exact-path phrase plan
+    (:meth:`SparkSearcher._phrase_df`) ships every candidate's decoded
+    position arrays through Arrow into a groupBy(doc_id) pivot — two
+    heavy exchanges whose volume is the SUM of the phrase terms' df —
+    and its conjunction range pruning only engages when one term is
+    rare. This plan instead groups the COMPRESSED block binaries
+    (docs/tfs/dls/pos varbyte streams) by BLOCK_DOC_RANGE doc range:
+    all of a doc's postings for every phrase term live in blocks of
+    its own range (builder splits blocks at range boundaries), so one
+    `applyInPandas` kernel decodes, intersects positions, computes the
+    quirk-faithful phrase freq (shared :func:`_phrase_freq_batch` —
+    BIT-identical to the exact plan, slop included), scores, and emits
+    the range's top-k. The shuffle carries varbyte bytes; the global
+    TakeOrdered sees ≤ k rows per range.
+
+    Presence filtering (metadata-only, exact): a phrase hit contains
+    EVERY unique term, so buckets where some term has no overlapping
+    sub-range cannot host hits and their blocks drop before the
+    shuffle. Reference semantics anchor: Phrase.php:378-491 (exact and
+    sloppy freq), scored as the MultiTerm bm25 path scores phrases
+    (idf of the min-df term).
+    """
+    spark = index.spark
+    k = max(int(k), 1)
+    sim = get_default()
+    uniq, slot_qid = _uniq_slots(q.terms)
+    n_uniq = len(uniq)
+    offsets = list(q.offsets)
+    slop = int(q.slop)
+    n_slots = len(q.terms)
+    two_slot_delta = (
+        offsets[1] - offsets[0] if n_slots == 2 and slop else None
+    )
+    sf, sf_np = sim.sloppy_freq, sim.sloppy_freq_np
+    default_sloppy = sim.is_default_sloppy()
+    N = index.n_docs
+    idf = bm25_idf(min(index.doc_freq(t) for t in uniq), N)
+    avgdl = float(index.avg_field_len(q.terms[0].field))
+    boost = float(q.boost)
+    k1, b = float(BM25_K1), float(BM25_B)
+    qmap = {(t.field, t.text): j for j, t in enumerate(uniq)}
+
+    cond = _terms_cond(uniq)
+    src = index.postings.where(cond)
+    # bucket-granular presence: every unique term is required
+    bmeta = _bucketed_sub(_sub_meta(index, uniq, [0.0] * n_uniq))
+    present = (
+        bmeta.select("_bkt", "field", "term")
+        .distinct()
+        .groupBy("_bkt")
+        .agg(F.countDistinct("field", "term").alias("_np"))
+        .where(F.col("_np") == n_uniq)
+        .select("_bkt")
+    )
+    keep_keys = (
+        src.select(*_WAND_META_COLS, "max_docid")
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
+                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
+                )
+            ),
+        )
+        .join(present, "_bkt", "leftsemi")
+        .select(*_WAND_META_COLS)
+        .distinct()
+    )
+    src = src.join(keep_keys, _WAND_META_COLS)
+    blocks = src.select(
+        "field", "term", "doc_base", "n",
+        "docs_bin", "tfs_bin", "dls_bin", "pos_bin",
+    ).withColumn("_rng", (F.col("doc_base") / BLOCK_DOC_RANGE).cast("long"))
+
+    def kern(pdf):
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        qids = np.asarray(
+            [qmap[(f, t)] for f, t in zip(pdf["field"], pdf["term"])],
+            np.int64,
+        )
+        n = pdf["n"].to_numpy(np.int64)
+        doc_base = pdf["doc_base"].to_numpy(np.int64)
+        starts = np.cumsum(n) - n
+        gaps = vb_decode(b"".join(pdf["docs_bin"])).astype(np.int64)
+        cs = np.cumsum(gaps)
+        prior = cs[starts] - gaps[starts]
+        base = doc_base - gaps[starts]
+        docs = cs - np.repeat(prior, n) + np.repeat(base, n)
+        tfs = vb_decode(b"".join(pdf["tfs_bin"])).astype(np.int64)
+        dls = vb_decode(b"".join(pdf["dls_bin"])).astype(np.int64)
+        # positions: per-doc runs of tf gaps, runs reset at each doc —
+        # same reconstruction as decode_postings' need_positions path
+        pgaps = vb_decode(b"".join(pdf["pos_bin"])).astype(np.int64)
+        run_starts = np.cumsum(tfs) - tfs
+        pcs = np.cumsum(pgaps)
+        prior_p = np.where(run_starts > 0, pcs[run_starts - 1], 0)
+        offs = np.zeros(len(pgaps), dtype=np.int64)
+        offs[run_starts] = np.diff(prior_p, prepend=np.int64(0))
+        pos = pcs - np.cumsum(offs)
+
+        row_q = np.repeat(qids, n)  # per posting
+        uniq_docs, inv = np.unique(docs, return_inverse=True)
+        n_rows = len(uniq_docs)
+        qcache: dict[int, tuple] = {}
+        for j in range(n_uniq):
+            sel = np.flatnonzero(row_q == j)
+            lens_p = tfs[sel]
+            total = int(lens_p.sum())
+            if total:
+                # gather each selected posting's position run (runs are
+                # contiguous, ascending within a doc)
+                take = (
+                    np.repeat(run_starts[sel], lens_p)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(lens_p) - lens_p, lens_p)
+                )
+                flat_j = pos[take]
+                rows_j = np.repeat(inv[sel], lens_p)
+                order = np.argsort(rows_j, kind="stable")
+                rows_j = rows_j[order]
+                flat_j = flat_j[order]
+                lens_row = np.bincount(rows_j, minlength=n_rows).astype(
+                    np.int64
+                )
+            else:
+                flat_j = np.array([], dtype=np.int64)
+                rows_j = flat_j
+                lens_row = np.zeros(n_rows, dtype=np.int64)
+            bounds = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(lens_row, out=bounds[1:])
+            qcache[j] = (rows_j, flat_j, lens_row, bounds)
+        freq = _phrase_freq_batch(
+            qcache, slot_qid, offsets, slop, n_rows,
+            sf, sf_np, default_sloppy, two_slot_delta,
+        )
+        dl_row = np.zeros(n_rows, dtype=np.float64)
+        sel0 = row_q == 0
+        dl_row[inv[sel0]] = dls[sel0]
+        hit = freq > 0
+        h_docs, fr, dl_h = uniq_docs[hit], freq[hit], dl_row[hit]
+        sc = (
+            boost
+            * idf
+            * (fr * (k1 + 1.0))
+            / (fr + k1 * ((1.0 - b) + b * dl_h / avgdl))
+        )
+        if len(h_docs) > k:
+            order = np.lexsort((h_docs, -sc))[:k]
+            h_docs, sc = h_docs[order], sc[order]
+        return pd.DataFrame({"doc_id": h_docs, "score": sc})
+
+    hits = blocks.groupBy("_rng").applyInPandas(
+        kern, "doc_id long, score double"
+    )
+    out = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    stats = None
+    if collect_stats:
+        stats = {
+            "path": "phrase_cogroup",
             "blocks_total": index.postings.where(cond).count(),
             "blocks_decoded": blocks.count(),
         }
