@@ -304,6 +304,7 @@ def assign_doc_ids(
 
     out = ordered.mapInPandas(add_ids, schema).drop("_pid")
     out._lucene_pinned = ordered  # builder unpersists after consuming
+    out._lucene_n_docs = acc  # ids are dense 0..acc-1 (see dense path)
     return out
 
 
@@ -421,9 +422,13 @@ def assign_doc_ids_dense(
     with_id = with_id.drop("_base")
     if cfg is None:
         with_id._lucene_pinned = ordered
+        with_id._lucene_n_docs = acc
         return with_id
     out = _docs_with_lengths(with_id, cfg)
     out._lucene_pinned = ordered
+    # ids are dense 0..acc-1, so the caller needs no max(doc_id)
+    # aggregation over the written table (one full-scan job saved)
+    out._lucene_n_docs = acc
     return out
 
 
@@ -835,6 +840,7 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
 
     # ---- docs table (doc ids + lengths + norms) ----
+    n_docs_known = None  # set when this build assigned the (dense) ids
     if not (resume and os.path.exists(os.path.join(docs_path, "_SUCCESS"))):
         if "doc_id" not in df.columns:
             oc = order_cols or ["conv_id", "turn_idx"]
@@ -851,6 +857,7 @@ def build_index(
         else:
             docs = _docs_with_lengths(df, cfg)
         docs.write.mode("overwrite").parquet(docs_path)
+        n_docs_known = getattr(docs, "_lucene_n_docs", None)
         pinned = getattr(docs, "_lucene_pinned", None)
         if pinned is not None:
             pinned.unpersist()
@@ -899,7 +906,14 @@ def build_index(
     with_seg = docs.withColumn(
         "seg_id", (F.col("doc_id") / F.lit(cfg.seg_size)).cast("long")
     )
-    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    # ids this build assigned are dense 0..n-1, so max(doc_id) is known
+    # without re-scanning the written table; resumes (or caller-supplied
+    # doc_id columns) aggregate it in one column-pruned job
+    max_doc = (
+        n_docs_known - 1
+        if n_docs_known
+        else docs.agg(F.max("doc_id")).collect()[0][0]
+    )
     # Resume-chunk span scales with input: each chunk is one serial
     # Spark job (~seconds of scheduling), so cap their count — at 10^12
     # turns the configured span alone would mean ~156k serial jobs. The
@@ -918,14 +932,32 @@ def build_index(
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     coalesce_prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
-    for c in pending:
+
+    # Chunk pipelines run CONCURRENTLY (a small thread pool submitting
+    # independent Spark jobs): chunks touch disjoint doc ranges and
+    # write to their own seg_chunk=<c> dirs, so the only shared sink is
+    # the manifest dir — its appends stay serialized under a lock
+    # (concurrent append jobs to one path share the committer's
+    # _temporary staging and can corrupt each other). Durability
+    # semantics are unchanged: a chunk's manifest commits only after
+    # its data write, in the same thread. Serially, each chunk paid
+    # scheduling + commit + stage-tail barriers with the cluster idle
+    # (~8 s/chunk measured at local[8]); overlapping fills those gaps
+    # and matters more as chunk count grows (the 40M smoke runs 10).
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    manifest_lock = threading.Lock()
+
+    def run_chunk(c: int) -> None:
         chunk_dir = os.path.join(seg_path, f"seg_chunk={c}")
         part = with_seg.where(
             (F.col("doc_id") >= c * span) & (F.col("doc_id") < (c + 1) * span)
         )
         blocks = part.groupBy("seg_id").applyInPandas(invert, POSTINGS_SCHEMA)
         blocks.write.mode("overwrite").parquet(chunk_dir)
-        # manifest rows per segment: lineage + counts (committed per chunk)
+        # manifest rows per segment: lineage + counts (committed per
+        # chunk, AFTER its data — "chunk in manifests" == durable)
         m = (
             spark.read.parquet(chunk_dir)
             .groupBy("seg_id")
@@ -939,7 +971,21 @@ def build_index(
             .withColumn("chunk", F.lit(c).cast("long"))
             .withColumn("lineage", F.lit(f"docs_parquet:{docs_path}"))
         )
-        m.write.mode("append").parquet(manifest_path)
+        with manifest_lock:
+            m.write.mode("append").parquet(manifest_path)
+
+    n_workers = min(
+        int(os.environ.get("LUCENE_SPARK_CHUNK_CONCURRENCY", "3")),
+        max(len(pending), 1),
+    )
+    if n_workers > 1 and len(pending) > 1:
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            # list() re-raises the first failure (chunks already
+            # manifested stay durable; orphan dirs purge on resume)
+            list(ex.map(run_chunk, pending))
+    else:
+        for c in pending:
+            run_chunk(c)
     spark.conf.set(coalesce_key, coalesce_prev)
     _mark("segments")
 
@@ -966,16 +1012,20 @@ def build_index(
         .repartitionByRange(max(1, n_merge // 4), "field", "term")
         .sortWithinPartitions("field", "term")
     )
+    td = td.persist()
     td.write.mode("overwrite").parquet(dict_path)
     # two-level dictionary (≙ the reference's .tii/.tis pair,
     # AbstractSegmentWriter.php:404-496): 128-term front-coded blocks
     # keyed by first_term — dictionary range scans read ~128x fewer
-    # rows than the flat term_dict (see SparkIndex.terms_from)
+    # rows than the flat term_dict (see SparkIndex.terms_from).
+    # Fed from the persisted td (not a re-read of dict_path): the flat
+    # write, the fc grouping, and its range sampling share one
+    # materialization — this phase is small-data and almost pure
+    # scheduling overhead, so the saved jobs are the saved time.
     from lucene_spark.codec.frontcode import write_dict_blocks
 
-    write_dict_blocks(
-        spark.read.parquet(dict_path), os.path.join(index_dir, "term_dict_fc")
-    )
+    write_dict_blocks(td, os.path.join(index_dir, "term_dict_fc"))
+    td.unpersist()
     _mark("term_dict")
 
     # ---- stats ----

@@ -102,7 +102,11 @@ def main() -> None:
             field_policy={"text": "text"},
             analyzer=Analyzer("[a-zA-Z0-9]+", lowercase=True, name="bench"),
             seg_size=16384,
-            store_positions=False,
+            # positions stored for the phrase cases below; non-phrase
+            # queries never read pos_bin (column pruning), so the
+            # WAND/conjunction numbers are unaffected — only build_sec
+            # pays for the extra stream
+            store_positions=True,
         )
         ix = build_index(spark, corpus, d, cfg, order_cols=["doc_id"])
         out["build_sec"] = round(time.time() - t0, 1)
@@ -207,6 +211,38 @@ def main() -> None:
                 out["queries"][name]["row_cut_rate"] = round(
                     1 - stats["rows_emitted"] / max(1, stats["rows_total"]), 4
                 )
+
+        # phrase cases: exact row-level plan vs the co-grouped range
+        # kernel (r3). Both hot-hot (no rare term — range pruning can't
+        # help the exact plan) and hot-mid; sloppy runs the shared
+        # quirk-faithful queue kernel inside the cogroup.
+        from lucene_spark.search.executor import topk_phrase_cogrouped
+
+        phrase_cases = {
+            "phrase_hot_hot": '"w1 w2"',
+            "phrase_hot_hot_sloppy": '"w1 w2"~3',
+            "phrase_hot_mid": '"w1 w50"~2',
+        }
+        for name, qs in phrase_cases.items():
+            q = parse_query(qs).rewrite(ix).optimize(ix)
+            t0 = time.time()
+            exact = s.execute(q, k=10, pruning="off").collect()
+            t_exact = time.time() - t0
+            t0 = time.time()
+            cg, _ = topk_phrase_cogrouped(ix, q, k=10)
+            cg_rows = cg.collect()
+            t_cg = time.time() - t0
+            assert sorted(
+                (round(r["score"], 9) for r in exact), reverse=True
+            ) == sorted(
+                (round(r["score"], 9) for r in cg_rows), reverse=True
+            ), f"{name}: cogroup != exact"
+            uniq_terms = {(t.field, t.text): t for t in q.terms}.values()
+            out["queries"][name] = {
+                "df": sum(ix.doc_freq(t) for t in uniq_terms),
+                "exact_sec": round(t_exact, 2),
+                "cogroup_sec": round(t_cg, 2),
+            }
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
