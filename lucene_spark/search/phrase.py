@@ -105,12 +105,19 @@ def sloppy_phrase_freq_2slot(pos_a, pos_b, delta: int, slop: int) -> float:
     B = np.asarray(pos_b, dtype=np.int64)
     if A.size == 0 or B.size == 0:
         return 0.0
-    if A.size > 60:
-        # queue multiplicities 2^(i-1) overflow int64 repeats here; the
-        # reference itself would materialize >2^59 candidates — fall
-        # back to the literal queue (which will be just as infeasible,
-        # preserving semantics rather than silently diverging)
-        return sloppy_phrase_freq([list(A), list(B)], [0, delta], slop)
+    if A.size + B.size > 22:
+        # The queue MULTIPLIES candidates (anchor i carries 2^(i-1)
+        # copies, each later-b append doubles again), so materializing
+        # it — as the reference does, and as the reconstruction below
+        # does — is exponential in the position counts: a hot-hot pair
+        # on natural text (tf 40+) would allocate terabytes (observed:
+        # a 32 TiB np.repeat on the Zipf bench corpus). Past this
+        # bound, compute the SAME value by the closed form (O(A·B),
+        # fuzz-asserted equal in test_properties); only the float
+        # ACCUMULATION ORDER differs from the queue, which matters for
+        # last-ulp rank parity only in a regime where the reference
+        # cannot run at all.
+        return _sloppy_2slot_closed(A, B, delta, slop)
     reps = np.ones(A.size, dtype=np.int64)
     if A.size >= 2:
         reps[1:] = np.left_shift(np.int64(1), np.arange(A.size - 1, dtype=np.int64))
@@ -126,6 +133,36 @@ def sloppy_phrase_freq_2slot(pos_a, pos_b, delta: int, slop: int) -> float:
             cur = np.concatenate([cur, sel])
     contribs = np.concatenate(segs) if segs else np.empty(0)
     return float(np.cumsum(contribs)[-1]) if contribs.size else 0.0
+
+
+def _sloppy_2slot_closed(A, B, delta: int, slop: int) -> float:
+    """Closed-form VALUE of the 2-slot queue freq (derivation mirrors
+    the fuzz-verified oracle SQL in __spark_entry__._FT_SLOPPY_SQL):
+
+        freq = Σ_{i,j: d_ij ≤ slop} 2^max(i−1, 0) · m_ij / (d_ij + 1)
+
+    with d_ij = |B_j − A_i − delta|, m_i0 = 1 (the first b mutates
+    candidates in place), and m_ij (j ≥ 1) = 2^(r−1) where r ranks
+    B_j among anchor i's IN-WINDOW later positions. O(A·B) time and
+    memory; clamped below inf so BM25's partial stays finite when the
+    multiplicities overflow float64 (freq that large saturates the
+    partial at k1+1 anyway)."""
+    import numpy as np
+
+    d = np.abs(B[None, :] - A[:, None] - delta).astype(np.float64)
+    inw = d <= slop
+    wa = np.exp2(
+        np.maximum(np.arange(A.size, dtype=np.float64) - 1.0, 0.0)
+    )
+    total = float(
+        (wa * np.where(inw[:, 0], 1.0 / (d[:, 0] + 1.0), 0.0)).sum()
+    )
+    if B.size > 1:
+        later = inw[:, 1:]
+        ranks = np.cumsum(later, axis=1, dtype=np.float64)
+        mult = np.where(later, np.exp2(ranks - 1.0), 0.0)
+        total += float((wa[:, None] * mult / (d[:, 1:] + 1.0)).sum())
+    return min(total, 1.7e308)
 
 
 def phrase_freq(

@@ -63,6 +63,34 @@ def test_sloppy_2slot_vectorized_bit_identical(pa, pb, delta, slop):
     assert want == got
 
 
+@settings(max_examples=300, deadline=None)
+@given(pa=positions, pb=positions, delta=st.integers(1, 4), slop=st.integers(0, 5))
+def test_sloppy_2slot_closed_matches_queue(pa, pb, delta, slop):
+    """The numpy closed form (_sloppy_2slot_closed — the escape hatch
+    for position counts where the queue is exponentially infeasible)
+    must equal the queue's VALUE at float tolerance on every feasible
+    input (accumulation order differs, so == is not expected)."""
+    from lucene_spark.search.phrase import _sloppy_2slot_closed
+
+    want = sloppy_phrase_freq([pa, pb], [0, delta], slop)
+    got = _sloppy_2slot_closed(
+        np.asarray(pa, np.int64), np.asarray(pb, np.int64), delta, slop
+    )
+    assert abs(want - got) < 1e-9 * max(1.0, abs(want))
+
+
+def test_sloppy_2slot_hot_positions_feasible():
+    """tf-40 × tf-40 docs (natural hot-hot text) must compute in O(A·B)
+    instead of materializing the 2^A-candidate queue (observed as a
+    32 TiB allocation before the closed-form escape hatch)."""
+    from lucene_spark.search.phrase import sloppy_phrase_freq_2slot
+
+    pa = np.arange(0, 400, 10, dtype=np.int64)  # 40 positions
+    pb = pa + 1
+    got = sloppy_phrase_freq_2slot(pa, pb, 1, 2)
+    assert np.isfinite(got) and got > 0
+
+
 blocks = st.lists(
     st.tuples(st.integers(1, 50), st.integers(1, 500)), min_size=1, max_size=128
 )

@@ -110,6 +110,24 @@ def main():
             ix, and_terms, and_w, [True, True], [Term("vector", "text")],
             k=10, collect_stats=True,
         )
+
+        # hot-hot phrase: exact row-level plan vs the co-grouped range
+        # kernel (r3) — both words are corpus-hot, so the exact plan's
+        # conjunction range pruning cannot engage
+        pq = parse_query('text:"fast value"').rewrite(ix).optimize(ix)
+        t0 = time.time()
+        ph_exact = s.execute(pq, k=10, pruning="off").collect()
+        t_ph_exact = time.time() - t0
+        from lucene_spark.search.executor import topk_phrase_cogrouped
+
+        t0 = time.time()
+        ph_cg = topk_phrase_cogrouped(ix, pq, k=10)[0].collect()
+        t_ph_cg = time.time() - t0
+        assert sorted(
+            (round(r["score"], 9) for r in ph_exact), reverse=True
+        ) == sorted((round(r["score"], 9) for r in ph_cg), reverse=True), (
+            "cogroup phrase top-k must equal exact"
+        )
         print(json.dumps({
             "n_turns": int(ix.n_docs),
             "build_sec": round(build_sec, 1),
@@ -123,6 +141,8 @@ def main():
             "wand_and_blocks_total": and_stats["blocks_total"],
             "wand_and_blocks_decoded": and_stats["blocks_decoded"],
             "wand_and_path": and_stats.get("path"),
+            "q_phrase_exact_sec": round(t_ph_exact, 2),
+            "q_phrase_cogroup_sec": round(t_ph_cg, 2),
             "q_conv_scoped_sec": round(t_scoped, 2),
             "cpus": cpus,
         }))
