@@ -562,7 +562,18 @@ class SparkSearcher:
                 uniq, _slots = _uniq_slots(q.terms)
                 self.index.prefetch_terms(uniq)
                 total_df = sum(self.index.doc_freq(t) for t in uniq)
-                if pruning == "force" or total_df >= AUTO_PRUNING_MIN_DF:
+                # sloppy freq runs a per-doc fallback on multi-position
+                # docs, so the cogroup kernel needs enough ranges to
+                # parallelize it — on small corpora (< ~122 ranges) the
+                # exact plan's bigger Arrow batches win (wand_bench:
+                # sloppy 10.8 s cogroup vs 6.7 s exact at 200k docs,
+                # while slop=0 cogroup already wins there); 'force'
+                # still routes unconditionally for tests/benches
+                auto_ok = total_df >= AUTO_PRUNING_MIN_DF and (
+                    q.slop == 0
+                    or self.index.n_docs >= PHRASE_COGROUP_MIN_DOCS
+                )
+                if pruning == "force" or auto_ok:
                     out, _stats = topk_phrase_cogrouped(self.index, q, k=k)
                     return out
             cand = _wand_terms(q)
@@ -1036,6 +1047,10 @@ def _collect_terms(q: Query) -> list[Term]:
 
 
 # ------------------------------------------------- block-max top-k path
+
+PHRASE_COGROUP_MIN_DOCS = 1_000_000  # 'auto' routes SLOPPY phrases to
+# the cogroup kernel only past this corpus size (≥ ~122 doc ranges —
+# enough kernel groups to parallelize the per-doc sloppy fallback)
 
 AUTO_PRUNING_MIN_DF = 65536  # 'auto' pruning: below this, block skipping
 # can't amortize the extra metadata jobs
