@@ -357,6 +357,8 @@ def _phrase_freq_batch(
                 slop,
             )
     else:
+        from lucene_spark.search.phrase import _sloppy_2slot_closed
+
         for r in rs:
             positions = [
                 list(
@@ -368,7 +370,27 @@ def _phrase_freq_batch(
                 )
                 for i in range(n_slots)
             ]
-            out[int(r)] = sloppy_phrase_freq(positions, offsets, slop, sf=sf)
+            if (
+                n_slots == 2
+                and len(positions[0]) + len(positions[1]) > 24
+            ):
+                # custom-Similarity 2-slot shape on a hot-hot doc: the
+                # queue is exponential here too — the closed form takes
+                # the custom sf_np (multiplicity structure is
+                # sf-independent); 3+-slot hot docs raise loudly inside
+                # sloppy_phrase_freq's candidate budget instead of
+                # hanging the executor
+                out[int(r)] = _sloppy_2slot_closed(
+                    np.asarray(positions[0], np.int64),
+                    np.asarray(positions[1], np.int64),
+                    offsets[1] - offsets[0],
+                    slop,
+                    sf_np=sf_np,
+                )
+            else:
+                out[int(r)] = sloppy_phrase_freq(
+                    positions, offsets, slop, sf=sf
+                )
     return out
 
 
@@ -1844,41 +1866,14 @@ def topk_and_cogrouped(
     req_set = set(req_ids)
 
     cond = _terms_cond(all_terms)
-    src = index.postings.where(cond)
-    if n_req:
-        # bucket-granular presence: ranges where some required term has
-        # no overlapping sub-range cannot host hits — drop their blocks
-        # before the shuffle (metadata-only; prunes when a required term
-        # is regionally absent, e.g. a delta tier or a clustered keyword)
-        bmeta = _bucketed_sub(
-            _sub_meta(index, [terms[i] for i in req_ids], [0.0] * n_req)
-        )
-        present = (
-            bmeta.select("_bkt", "field", "term")
-            .distinct()
-            .groupBy("_bkt")
-            .agg(F.countDistinct("field", "term").alias("_np"))
-            .where(F.col("_np") == n_req)
-            .select("_bkt")
-        )
-        # presence semi-join on METADATA keys only, binaries joined back
-        # after the distinct — never dedup or explode binary columns
-        keep_keys = (
-            src.select(*_WAND_META_COLS, "max_docid")
-            .withColumn(
-                "_bkt",
-                F.explode(
-                    F.sequence(
-                        (F.col("doc_base") / WAND_BUCKET).cast("long"),
-                        (F.col("max_docid") / WAND_BUCKET).cast("long"),
-                    )
-                ),
-            )
-            .join(present, "_bkt", "leftsemi")
-            .select(*_WAND_META_COLS)
-            .distinct()
-        )
-        src = src.join(keep_keys, _WAND_META_COLS)
+    # bucket-granular presence (shared with the phrase kernel): ranges
+    # where some required term has no overlapping sub-range cannot host
+    # hits — their blocks drop before the shuffle (metadata-only;
+    # prunes when a required term is regionally absent, e.g. a delta
+    # tier or a clustered keyword). n_req == 0 skips the filter.
+    src = _presence_filtered_src(
+        index, all_terms, [terms[i] for i in req_ids]
+    )
     blocks = src.select(
         "field", "term", "doc_base", "n",
         "docs_bin", "tfs_bin", "dls_bin",
@@ -1943,6 +1938,49 @@ def topk_and_cogrouped(
     return out, stats
 
 
+def _presence_filtered_src(index: SparkIndex, all_terms, req_terms):
+    """Postings of ``all_terms`` minus blocks confined to WAND_BUCKET
+    buckets where some term of ``req_terms`` has no overlapping
+    sub-range — the presence step shared by the cogroup kernels
+    (conjunction and phrase). Metadata-only and exact: a doc containing
+    every required term has, for each one, a posting block overlapping
+    the doc's own bucket, so all of a hit's blocks always survive.
+    The semi-join runs on _WAND_META_COLS keys only; binary columns are
+    joined back by key — never deduped or exploded (binary-column
+    distinct corrupts; see PLANS.md)."""
+    src = index.postings.where(_terms_cond(all_terms))
+    if not req_terms:
+        # pure disjunction: every range can host a hit
+        return src
+    bmeta = _bucketed_sub(
+        _sub_meta(index, req_terms, [0.0] * len(req_terms))
+    )
+    present = (
+        bmeta.select("_bkt", "field", "term")
+        .distinct()
+        .groupBy("_bkt")
+        .agg(F.countDistinct("field", "term").alias("_np"))
+        .where(F.col("_np") == len(req_terms))
+        .select("_bkt")
+    )
+    keep_keys = (
+        src.select(*_WAND_META_COLS, "max_docid")
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
+                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
+                )
+            ),
+        )
+        .join(present, "_bkt", "leftsemi")
+        .select(*_WAND_META_COLS)
+        .distinct()
+    )
+    return src.join(keep_keys, _WAND_META_COLS)
+
+
 def topk_phrase_cogrouped(
     index: SparkIndex,
     q,
@@ -1994,36 +2032,20 @@ def topk_phrase_cogrouped(
     qmap = {(t.field, t.text): j for j, t in enumerate(uniq)}
 
     cond = _terms_cond(uniq)
-    src = index.postings.where(cond)
-    # bucket-granular presence: every unique term is required
-    bmeta = _bucketed_sub(_sub_meta(index, uniq, [0.0] * n_uniq))
-    present = (
-        bmeta.select("_bkt", "field", "term")
-        .distinct()
-        .groupBy("_bkt")
-        .agg(F.countDistinct("field", "term").alias("_np"))
-        .where(F.col("_np") == n_uniq)
-        .select("_bkt")
-    )
-    keep_keys = (
-        src.select(*_WAND_META_COLS, "max_docid")
-        .withColumn(
-            "_bkt",
-            F.explode(
-                F.sequence(
-                    (F.col("doc_base") / WAND_BUCKET).cast("long"),
-                    (F.col("max_docid") / WAND_BUCKET).cast("long"),
-                )
-            ),
-        )
-        .join(present, "_bkt", "leftsemi")
-        .select(*_WAND_META_COLS)
-        .distinct()
-    )
-    src = src.join(keep_keys, _WAND_META_COLS)
+    # presence: every unique phrase term is required
+    src = _presence_filtered_src(index, uniq, uniq)
+    # the kernel consumes doc lengths from term 0's postings only —
+    # the other terms' dls streams would be shuffled, decoded, and
+    # discarded ((n-1)/n of a whole varbyte stream for an n-term hot
+    # phrase), so they ship as empty binaries; alignment is restored
+    # in the kernel from the per-block posting counts
+    dls_proj = F.when(
+        (F.col("field") == uniq[0].field) & (F.col("term") == uniq[0].text),
+        F.col("dls_bin"),
+    ).otherwise(F.lit(b""))
     blocks = src.select(
         "field", "term", "doc_base", "n",
-        "docs_bin", "tfs_bin", "dls_bin", "pos_bin",
+        "docs_bin", "tfs_bin", dls_proj.alias("dls_bin"), "pos_bin",
     ).withColumn("_rng", (F.col("doc_base") / BLOCK_DOC_RANGE).cast("long"))
 
     def kern(pdf):
@@ -2047,7 +2069,10 @@ def topk_phrase_cogrouped(
         base = doc_base - gaps[starts]
         docs = cs - np.repeat(prior, n) + np.repeat(base, n)
         tfs = vb_decode(b"".join(pdf["tfs_bin"])).astype(np.int64)
-        dls = vb_decode(b"".join(pdf["dls_bin"])).astype(np.int64)
+        # dls_bin is non-empty ONLY on term-0 blocks (driver projection)
+        # and concatenates in pdf-row order — exactly the order of the
+        # term-0 posting selector below
+        dls0 = vb_decode(b"".join(pdf["dls_bin"])).astype(np.float64)
         # positions: per-doc runs of tf gaps, runs reset at each doc —
         # same reconstruction as decode_postings' need_positions path
         pgaps = vb_decode(b"".join(pdf["pos_bin"])).astype(np.int64)
@@ -2095,7 +2120,7 @@ def topk_phrase_cogrouped(
         )
         dl_row = np.zeros(n_rows, dtype=np.float64)
         sel0 = row_q == 0
-        dl_row[inv[sel0]] = dls[sel0]
+        dl_row[inv[sel0]] = dls0
         hit = freq > 0
         h_docs, fr, dl_h = uniq_docs[hit], freq[hit], dl_row[hit]
         sc = (

@@ -41,6 +41,18 @@ def sloppy_phrase_freq(
     for term_id in range(len(positions)):
         first_pass = True
         for pos in positions[term_id]:
+            # The queue MULTIPLIES candidates per position — the
+            # reference's own algorithm is exponential in a doc's
+            # position counts. Failing loudly beats an hours-long
+            # hang / OOM inside an executor task; the 2-slot shape
+            # escapes to a closed form before ever reaching here.
+            if len(phrase_queue) > QUEUE_CANDIDATE_BUDGET:
+                raise RuntimeError(
+                    f"sloppy-phrase candidate queue exceeded "
+                    f"{QUEUE_CANDIDATE_BUDGET} candidates (exponential "
+                    f"in per-doc position counts; positions: "
+                    f"{[len(p) for p in positions]})"
+                )
             if first_pass:
                 for cand in phrase_queue:
                     cand[term_id] = pos
@@ -105,18 +117,21 @@ def sloppy_phrase_freq_2slot(pos_a, pos_b, delta: int, slop: int) -> float:
     B = np.asarray(pos_b, dtype=np.int64)
     if A.size == 0 or B.size == 0:
         return 0.0
-    if A.size + B.size > 22:
+    if A.size + B.size > 24:
         # The queue MULTIPLIES candidates (anchor i carries 2^(i-1)
-        # copies, each later-b append doubles again), so materializing
-        # it — as the reference does, and as the reconstruction below
-        # does — is exponential in the position counts: a hot-hot pair
-        # on natural text (tf 40+) would allocate terabytes (observed:
-        # a 32 TiB np.repeat on the Zipf bench corpus). Past this
-        # bound, compute the SAME value by the closed form (O(A·B),
-        # fuzz-asserted equal in test_properties); only the float
-        # ACCUMULATION ORDER differs from the queue, which matters for
-        # last-ulp rank parity only in a regime where the reference
-        # cannot run at all.
+        # copies, each later-b append can double again), so
+        # materializing it — as the reference does, and as the
+        # reconstruction below does — is exponential in the position
+        # counts: a hot-hot pair on natural text (tf 40+) would
+        # allocate terabytes (observed: a 32 TiB np.repeat on the Zipf
+        # bench corpus). Past this bound (≈2^23 worst-case candidates,
+        # ~64 MB per kernel worker — near the memory comfort limit,
+        # though a patient reference could still run somewhat beyond
+        # it), compute the SAME value by the closed form (O(A·B),
+        # fuzz-asserted equal at 1e-9 in test_properties). The float
+        # ACCUMULATION ORDER differs from the queue, so last-ulp rank
+        # parity on exactly-tied scores is traded for feasibility in
+        # this regime — documented divergence, not an oversight.
         return _sloppy_2slot_closed(A, B, delta, slop)
     reps = np.ones(A.size, dtype=np.int64)
     if A.size >= 2:
@@ -135,33 +150,49 @@ def sloppy_phrase_freq_2slot(pos_a, pos_b, delta: int, slop: int) -> float:
     return float(np.cumsum(contribs)[-1]) if contribs.size else 0.0
 
 
-def _sloppy_2slot_closed(A, B, delta: int, slop: int) -> float:
+QUEUE_CANDIDATE_BUDGET = 4_000_000  # hard cap on materialized sloppy-
+# queue candidates (n-slot generic path; ~hundreds of MB of dicts) —
+# past it the algorithm is infeasible in ANY implementation
+
+
+def _sloppy_2slot_closed(A, B, delta: int, slop: int, sf_np=None) -> float:
     """Closed-form VALUE of the 2-slot queue freq (derivation mirrors
     the fuzz-verified oracle SQL in __spark_entry__._FT_SLOPPY_SQL):
 
-        freq = Σ_{i,j: d_ij ≤ slop} 2^max(i−1, 0) · m_ij / (d_ij + 1)
+        freq = Σ_{i,j: d_ij ≤ slop} 2^max(i−1, 0) · m_ij · sf(d_ij)
 
     with d_ij = |B_j − A_i − delta|, m_i0 = 1 (the first b mutates
     candidates in place), and m_ij (j ≥ 1) = 2^(r−1) where r ranks
-    B_j among anchor i's IN-WINDOW later positions. O(A·B) time and
-    memory; clamped below inf so BM25's partial stays finite when the
-    multiplicities overflow float64 (freq that large saturates the
-    partial at k1+1 anyway)."""
+    B_j among anchor i's IN-WINDOW later positions. The multiplicity
+    structure counts queue candidates and is independent of the
+    sloppyFreq weighting, so ``sf_np`` (vectorized distance → weight;
+    default 1/(d+1)) supports custom Similarities too. O(A·B) time
+    and memory. In-window pairs are INDEXED out (never masked by
+    multiplying with 0.0: the 2^i multiplicities overflow to inf past
+    i≈1074 and inf·0.0 is NaN, which would silently drop the doc);
+    an inf total clamps below float max so BM25's partial stays
+    finite (freq that large saturates the partial at k1+1 anyway)."""
     import numpy as np
+
+    if sf_np is None:
+        def sf_np(d):
+            return 1.0 / (d + 1.0)
 
     d = np.abs(B[None, :] - A[:, None] - delta).astype(np.float64)
     inw = d <= slop
     wa = np.exp2(
         np.maximum(np.arange(A.size, dtype=np.float64) - 1.0, 0.0)
     )
-    total = float(
-        (wa * np.where(inw[:, 0], 1.0 / (d[:, 0] + 1.0), 0.0)).sum()
-    )
+    sel0 = np.nonzero(inw[:, 0])[0]
+    total = float((wa[sel0] * sf_np(d[sel0, 0])).sum())
     if B.size > 1:
         later = inw[:, 1:]
         ranks = np.cumsum(later, axis=1, dtype=np.float64)
-        mult = np.where(later, np.exp2(ranks - 1.0), 0.0)
-        total += float((wa[:, None] * mult / (d[:, 1:] + 1.0)).sum())
+        ai, bj = np.nonzero(later)
+        if len(ai):
+            total += float(
+                (wa[ai] * np.exp2(ranks[ai, bj] - 1.0) * sf_np(d[ai, bj + 1])).sum()
+            )
     return min(total, 1.7e308)
 
 
