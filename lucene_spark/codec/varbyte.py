@@ -21,11 +21,10 @@ _SEVEN = np.uint64(7)
 _MASK7 = np.uint64(0x7F)
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode a non-negative integer array. Vectorized O(maxbytes)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _vb_pack(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Shared packing body: (stream bytes, per-value end byte offsets).
+    Vectorized O(maxbytes); the single source of the continuation-bit
+    layout for both whole-array and sliced encoding."""
     # bytes needed per value (1..10)
     nb = np.ones(v.size, dtype=np.int64)
     x = v >> _SEVEN
@@ -43,7 +42,15 @@ def vb_encode(values: np.ndarray) -> bytes:
         # continuation bit on all bytes except each value's last
         cont = np.where(nb[mask] - 1 > j, np.uint64(0x80), np.uint64(0))
         out[pos] = (byte | cont).astype(np.uint8)
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a non-negative integer array. Vectorized O(maxbytes)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    return _vb_pack(v)[0]
 
 
 def vb_encode_sliced(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
@@ -56,22 +63,7 @@ def vb_encode_sliced(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
     bounds = np.asarray(bounds, dtype=np.int64)
     if v.size == 0:
         return [b""] * max(len(bounds) - 1, 0)
-    nb = np.ones(v.size, dtype=np.int64)
-    x = v >> _SEVEN
-    while x.any():
-        nb += x > 0
-        x >>= _SEVEN
-    ends = np.cumsum(nb)
-    starts = ends - nb
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    maxb = int(nb.max())
-    for j in range(maxb):
-        mask = nb > j
-        pos = starts[mask] + j
-        byte = (v[mask] >> np.uint64(7 * j)) & _MASK7
-        cont = np.where(nb[mask] - 1 > j, np.uint64(0x80), np.uint64(0))
-        out[pos] = (byte | cont).astype(np.uint8)
-    buf = out.tobytes()
+    buf, ends = _vb_pack(v)
     # value-index bounds → byte offsets
     byte_off = np.concatenate(([0], ends))[bounds]
     return [

@@ -372,9 +372,17 @@ def dedup_keep_canonical(
     """Drop every near-duplicate except the minimum-id doc of each
     cluster — rows not in any pair survive untouched. One broadcast-or-
     shuffled left join against the (small) component table."""
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b).select(
+        # temp names: drop-by-name would otherwise remove the caller's
+        # own 'id'/'cluster_id' columns (drop("id") drops EVERY column
+        # with that name, including df's)
+        F.col("id").alias("_cc_id"),
+        F.col("cluster_id").alias("_cc_cluster"),
+    )
     return (
-        df.join(comp, df[id_col] == comp["id"], "left")
-        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == df[id_col]))
-        .drop("id", "cluster_id")
+        df.join(comp, df[id_col] == comp["_cc_id"], "left")
+        .where(
+            F.col("_cc_cluster").isNull() | (F.col("_cc_cluster") == df[id_col])
+        )
+        .drop("_cc_id", "_cc_cluster")
     )

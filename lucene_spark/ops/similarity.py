@@ -217,6 +217,11 @@ def ivf_topk_trained(
     """
     import numpy as np
 
+    if not len(cents):
+        # train_ivf_centroids legitimately returns [] for an empty /
+        # all-zero-vector input — no buckets means no candidates
+        # (schema matches brute_force_topk's (id, cos))
+        return df.sparkSession.createDataFrame([], "id long, cos double")
     c = np.asarray(cents, np.float64)
     q = np.asarray([float(x) for x in query_vec], np.float64)
     order = np.lexsort((np.arange(len(c)), -(c @ q)))

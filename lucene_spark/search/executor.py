@@ -1467,7 +1467,12 @@ def topk_wand(
             seed_blocks = index.postings.where(cond).join(seed_keys, meta_cols)
             seed_rows = (
                 _score_decoded(index, terms, weights, seed_blocks)
-                .where((F.col("doc_id") / Q).cast("long").isin(bkt_ids))
+                # broadcast semi-join, NOT an isin literal: bkt_ids can
+                # grow to the full occupied-bucket count (S quadruples
+                # to n_occ when the corpus has < k hits) and a 10^5-id
+                # IN-list blows up plan size/analysis on the driver
+                .withColumn("_bkt", (F.col("doc_id") / Q).cast("long"))
+                .join(F.broadcast(seed_df), "_bkt", "leftsemi")
                 .groupBy("doc_id")
                 .agg(F.sum("_s").alias("score"))
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1538,9 +1543,16 @@ def topk_wand(
             ess_w = [weights[i] for i in ess_ids]
             non_t = [terms[i] for i in non_ess]
             non_w = [weights[i] for i in non_ess]
+            # NOT persisted: a .persist() here is never unpersisted (the
+            # returned plan stays lazy), and in a long-lived serving
+            # session each MAXSCORE query would leak one cached plan
+            # until executor storage fills. The essential side is small
+            # (≤ MAXSCORE_CAND_DF_BOUND postings), so the one extra
+            # decode when the final union re-executes it is bounded —
+            # an unbounded cache leak is not.
             ess_dec = _score_decoded(
                 index, ess_t, ess_w, survivors.where(_terms_cond(ess_t))
-            ).persist()
+            )
             # candidate doc ids to the driver: bounded by ess_df ≤
             # MAXSCORE_CAND_DF_BOUND (≤16 MB of int64) — Arrow collect,
             # then a sorted array broadcast into the decode kernel
@@ -2253,14 +2265,21 @@ def topk_wand_and(
         F.sum("_bmax").alias("_bsum")
     )
 
-    def conjunction_hits(blocks, bkt_ids=None):
+    def conjunction_hits(blocks, seed_bkts_df=None):
         """(doc_id, score) of EXACT conjunction hits in a decoded block
-        subset; when ``bkt_ids`` is given, only docs in those buckets
-        (whose contributions are provably complete) are kept."""
+        subset; when ``seed_bkts_df`` (a `_bkt long` DataFrame) is
+        given, only docs in those buckets (whose contributions are
+        provably complete) are kept — via a broadcast semi-join, not an
+        isin literal (the seed set quadruples toward the full occupied-
+        bucket count when the corpus has < k hits)."""
         scored = _score_decoded(index, terms, weights, blocks)
-        if bkt_ids is not None:
-            scored = scored.where(
-                (F.col("doc_id") / Q).cast("long").isin([int(x) for x in bkt_ids])
+        if seed_bkts_df is not None:
+            scored = (
+                scored.withColumn(
+                    "_bkt", (F.col("doc_id") / Q).cast("long")
+                )
+                .join(F.broadcast(seed_bkts_df), "_bkt", "leftsemi")
+                .drop("_bkt")
             )
         agg = (
             scored.groupBy("doc_id")
@@ -2273,11 +2292,7 @@ def topk_wand_and(
             .where(F.col("_mr") == n_req)
         )
         if pro_terms:
-            bkts = (
-                spark.createDataFrame([(int(x),) for x in bkt_ids], "_bkt long")
-                if bkt_ids is not None
-                else present
-            )
+            bkts = seed_bkts_df if seed_bkts_df is not None else present
             pro_src = _restrict_blocks_to_buckets(index, pro_terms, bkts)
             pro_docs = (
                 decode_postings(pro_src, pro_terms, docs_only=True)
@@ -2308,7 +2323,7 @@ def topk_wand_and(
         )
         seed_blocks = index.postings.where(cond).join(seed_keys, _WAND_META_COLS)
         seed_rows = (
-            conjunction_hits(seed_blocks, bkt_ids)
+            conjunction_hits(seed_blocks, seed_df)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
             .collect()

@@ -167,10 +167,21 @@ class _Rewriter(HTMLParser):
         self.out.append(f"<?{data}>")
 
     def handle_entityref(self, name):
-        self.out.append(f"&{name};")
+        # defer to updatepos: HTMLParser fires this event for bare
+        # '&name' (no trailing semicolon) too, so reconstructing
+        # '&{name};' here would INSERT a byte the input never had —
+        # updatepos receives the event's exact [i, j) source span and
+        # re-emits it verbatim
+        self._raw_span = True
 
     def handle_charref(self, name):
-        self.out.append(f"&#{name};")
+        self._raw_span = True
+
+    def updatepos(self, i, j):
+        if getattr(self, "_raw_span", False):
+            self.out.append(self.rawdata[i:j])
+            self._raw_span = False
+        return super().updatepos(i, j)
 
     # --- the one rewriting event
     def handle_data(self, data):
