@@ -978,15 +978,19 @@ def build_index(
         int(os.environ.get("LUCENE_SPARK_CHUNK_CONCURRENCY", "3")),
         max(len(pending), 1),
     )
-    if n_workers > 1 and len(pending) > 1:
-        with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            # list() re-raises the first failure (chunks already
-            # manifested stay durable; orphan dirs purge on resume)
-            list(ex.map(run_chunk, pending))
-    else:
-        for c in pending:
-            run_chunk(c)
-    spark.conf.set(coalesce_key, coalesce_prev)
+    try:
+        if n_workers > 1 and len(pending) > 1:
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                # list() re-raises the first failure (chunks already
+                # manifested stay durable; orphan dirs purge on resume)
+                list(ex.map(run_chunk, pending))
+        else:
+            for c in pending:
+                run_chunk(c)
+    finally:
+        # a chunk failure must not leave AQE coalescing disabled for
+        # the rest of the session
+        spark.conf.set(coalesce_key, coalesce_prev)
     _mark("segments")
 
     # ---- phase B: global merge (pure sort — see module docstring) ----

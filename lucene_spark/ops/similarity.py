@@ -329,15 +329,40 @@ def rp_lsh_pairs(
     )
 
 
+COSINE_PAIRS_MAX_ROWS = 100_000  # ~5e9 pairs — the most a deliberate
+# exact all-pairs run should ever attempt; past this the quadratic
+# blow-up detonates any cluster and rp_lsh_pairs is the scale path
+
+
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All-pairs (id_a < id_b, cos) with cos >= threshold.
 
     Normalizes each vector once, then a cross join with a codegen'd
     dot product. Use on candidate subsets (post-LSH / within-IVF-bucket)
     at scale; the normalize-first trick halves the flops.
+
+    This is O(n^2): inputs above COSINE_PAIRS_MAX_ROWS rows are
+    refused (the count is cheap next to the cross join it prevents)
+    unless ``allow_quadratic=True``. For large inputs use
+    :func:`rp_lsh_pairs`, which bands sign-LSH keys so the join only
+    touches colliding buckets.
     """
+    if not allow_quadratic:
+        # limit(N+1).count() bounds the check at N+1 rows scanned
+        n = df.limit(COSINE_PAIRS_MAX_ROWS + 1).count()
+        if n > COSINE_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"cosine_pairs input exceeds {COSINE_PAIRS_MAX_ROWS} rows; "
+                f"the all-pairs cross join is quadratic. Use rp_lsh_pairs "
+                f"for large inputs, or pass allow_quadratic=True if this "
+                f"is a deliberate candidate-subset run."
+            )
     normed = df.select(
         F.col(id_col).alias("id"),
         F.transform(

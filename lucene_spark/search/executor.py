@@ -299,8 +299,11 @@ def _phrase_freq_batch(
     quirk-faithful candidate queue only on surviving rows. The
     dominant 2-slot shape ("a b"~n) is vectorized: single-position
     docs compute in one batched expression, multi-position docs run
-    sloppy_phrase_freq_2slot (bit-identical to the Python queue,
-    fuzz-asserted in test_properties); other slot counts fall back to
+    sloppy_phrase_freq_2slot (bit-identical to the Python queue up to
+    the 24-position escape threshold, fuzz-asserted in test_properties;
+    beyond it the closed form gives value parity at 1e-9 with a
+    different float accumulation order — see phrase.py); other slot
+    counts fall back to
     phrase.sloppy_phrase_freq — the single source of truth shared
     with the model (Phrase.php:425-491 semantics).
     """

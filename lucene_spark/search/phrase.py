@@ -10,6 +10,14 @@ from __future__ import annotations
 from lucene_spark.search.similarity import sloppy_freq
 
 
+class PhraseQueueBudgetExceeded(RuntimeError):
+    """The generic n-slot sloppy-phrase queue exceeded its candidate
+    budget. Subclasses RuntimeError so pre-existing broad handlers keep
+    working, but serving layers can catch THIS type to degrade
+    deliberately (e.g. re-run with a smaller slop or route to the
+    closed-form 2-slot path) instead of treating it as an engine bug."""
+
+
 def exact_phrase_freq(positions: list[list[int]], offsets: list[int]) -> float:
     """Count alignments anchored on the rarest term's positions."""
     low = min(range(len(positions)), key=lambda i: len(positions[i]))
@@ -47,7 +55,7 @@ def sloppy_phrase_freq(
             # hang / OOM inside an executor task; the 2-slot shape
             # escapes to a closed form before ever reaching here.
             if len(phrase_queue) > QUEUE_CANDIDATE_BUDGET:
-                raise RuntimeError(
+                raise PhraseQueueBudgetExceeded(
                     f"sloppy-phrase candidate queue exceeded "
                     f"{QUEUE_CANDIDATE_BUDGET} candidates (exponential "
                     f"in per-doc position counts; positions: "
@@ -180,18 +188,31 @@ def _sloppy_2slot_closed(A, B, delta: int, slop: int, sf_np=None) -> float:
 
     d = np.abs(B[None, :] - A[:, None] - delta).astype(np.float64)
     inw = d <= slop
-    wa = np.exp2(
-        np.maximum(np.arange(A.size, dtype=np.float64) - 1.0, 0.0)
-    )
+    with np.errstate(over="ignore"):  # overflow -> inf is intentional
+        # (clamped at return; zero-sf pairs are indexed out below)
+        wa = np.exp2(
+            np.maximum(np.arange(A.size, dtype=np.float64) - 1.0, 0.0)
+        )
     sel0 = np.nonzero(inw[:, 0])[0]
-    total = float((wa[sel0] * sf_np(d[sel0, 0])).sum())
+    s0 = sf_np(d[sel0, 0])
+    nz0 = s0 != 0.0  # index out zero-weight pairs too: a custom sf_np
+    # may return 0.0 for an in-window distance, and once the 2^i
+    # multiplicities overflow to inf, inf * 0.0 = NaN would silently
+    # drop the doc from the sum
+    total = float((wa[sel0[nz0]] * s0[nz0]).sum())
     if B.size > 1:
         later = inw[:, 1:]
         ranks = np.cumsum(later, axis=1, dtype=np.float64)
         ai, bj = np.nonzero(later)
         if len(ai):
+            sv = sf_np(d[ai, bj + 1])
+            nz = sv != 0.0
             total += float(
-                (wa[ai] * np.exp2(ranks[ai, bj] - 1.0) * sf_np(d[ai, bj + 1])).sum()
+                (
+                    wa[ai[nz]]
+                    * np.exp2(ranks[ai[nz], bj[nz]] - 1.0)
+                    * sv[nz]
+                ).sum()
             )
     return min(total, 1.7e308)
 
