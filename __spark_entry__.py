@@ -598,6 +598,23 @@ def _wide_index_for(spark, sf_dir) -> SparkIndex:
     return ix
 
 
+def _ft_fuzzy_widevocab(spark, sf_dir):
+    """Fuzzy 'w00123'~0.5 with prefix_length=0 over the wide-vocab
+    index: a full-dictionary expansion (no prefix to bound the scan).
+    Round 4 runs the levenshtein similarity JVM-side inside the
+    term_dict scan (SparkIndex.match_terms_fuzzy); the driver collects
+    only the 332 matching terms, never dictionary pages — the 100M-term
+    scale path for the reference's Fuzzy.php:147-298 semantics."""
+    ix = _wide_index_for(spark, sf_dir)
+    q = FuzzyQuery(Term("w00123", "text"), 0.5, prefix_length=0)
+    out = SparkSearcher(ix).search(q, k=0, score_mode="bm25", default_field="text")
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
 def _ft_wildcard_widevocab(spark, sf_dir):
     """Wildcard 'w0*9' over the wide-vocab index: the dictionary range
     under prefix 'w0' holds ~1500 terms (> the old 1026-row scan
@@ -759,6 +776,51 @@ corp AS (
 {_term_scores_sql("term LIKE 'w0%9'")},
 result AS (
     SELECT doc_id, round(sum(s), 6) AS score FROM scores GROUP BY doc_id
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+# wide-vocab fuzzy, prefix_length=0: the round-4 distributed-expansion
+# gate — the whole ~1.5k-term dictionary is levenshtein-filtered
+# JVM-side (index/expansion.py), never paged through the driver.
+# Query 'w00123'~0.5 matches 332 w-terms (digit distance <= 2).
+_FT_FUZZY_WIDE_SQL = f"""
+WITH wd AS (
+    SELECT doc_id,
+           concat(text, ' ', printf('w%05d', doc_id * 3),
+                        ' ', printf('w%05d', doc_id * 3 + 1),
+                        ' ', printf('w%05d', doc_id * 3 + 2)) AS text
+    FROM documents
+),
+toks AS (
+    SELECT d.doc_id, d.l[g.i] AS term
+    FROM (SELECT doc_id, {TOKEN_SQL} AS l FROM wd) d,
+         LATERAL (SELECT unnest(generate_series(1, len(d.l))) AS i) g
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corp AS (
+    SELECT (SELECT count(*) FROM wd) AS n,
+           (SELECT SUM(dl)::DOUBLE / COUNT(*) FROM dl) AS avgdl
+),
+cand AS (
+    SELECT term,
+           1.0 - levenshtein('w00123', term) / least(6, len(term)) AS sim
+    FROM (SELECT DISTINCT term FROM toks)
+),
+fz0 AS (
+    SELECT term, (sim - 0.5) * (1.0 / (1.0 - 0.5)) AS boost
+    FROM cand WHERE sim > 0.5
+),
+fz AS (
+    SELECT term,
+           CASE WHEN (SELECT count(*) FROM fz0) = 1 THEN 1.0 ELSE boost END AS boost
+    FROM fz0
+),
+{_term_scores_sql("term IN (SELECT term FROM fz)")},
+result AS (
+    SELECT s.doc_id, round(sum(f.boost * s.s), 6) AS score
+    FROM scores s JOIN fz f USING (term) GROUP BY s.doc_id
 )
 SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """
@@ -1871,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_presort_limit": _ft_presort_limit,
         "ft_boosted_classic": _ft_boosted_classic,
         "ft_wildcard_widevocab": _ft_wildcard_widevocab,
+        "ft_fuzzy_widevocab": _ft_fuzzy_widevocab,
         "ix_postings": _ix_postings,
         "ix_term_dict": _ix_term_dict,
         "ix_doc_lengths": _ix_doc_lengths,
@@ -1929,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_presort_limit": _FT_PRESORT_SQL,
         "ft_boosted_classic": _FT_BOOSTED_SQL,
         "ft_wildcard_widevocab": _FT_WIDE_SQL,
+        "ft_fuzzy_widevocab": _FT_FUZZY_WIDE_SQL,
         "ix_postings": _IX_POSTINGS_SQL,
         "ix_term_dict": _IX_TERM_DICT_SQL,
         "ix_doc_lengths": _IX_DOC_LENGTHS_SQL,

@@ -1229,9 +1229,14 @@ class SparkIndex:
         todo = [(t.field, t.text) for t in terms if (t.field, t.text) not in self._df_cache]
         if not todo:
             return
-        cond = None
+        # per-field In filters (flat nodes) — a per-term OR chain
+        # overflows the JVM stack past ~300 terms (1024-term fuzzy)
+        by_field: dict = {}
         for f, x in todo:
-            c = (F.col("field") == f) & (F.col("term") == x)
+            by_field.setdefault(f, set()).add(x)
+        cond = None
+        for f, texts in by_field.items():
+            c = (F.col("field") == f) & F.col("term").isin(sorted(texts))
             cond = c if cond is None else (cond | c)
         rows = self.term_dict.where(cond).select("field", "term", "df").collect()
         found = {(r["field"], r["term"]): r["df"] for r in rows}
@@ -1330,6 +1335,41 @@ class SparkIndex:
                 return
             cursor = rows[-1]["first_term"]
             inclusive = False
+
+    # ---- distributed dictionary expansion (index/expansion.py) ----
+    # The predicate runs INSIDE the term_dict scan (JVM rlike /
+    # levenshtein over the pushed-down prefix slice), so wildcard/
+    # fuzzy/range rewrites collect only matching terms — bounded by the
+    # 1024-term query limit, never the vocabulary size. terms_from
+    # remains the generic sorted iterator (reference parity fallback,
+    # used by readers without a term_dict DataFrame).
+
+    def match_terms_regex(
+        self, field, prefix, java_regex, limit, is_match=None
+    ) -> list[str]:
+        from lucene_spark.index.expansion import match_terms_regex
+
+        return match_terms_regex(
+            self.term_dict, field, prefix, java_regex, limit, is_match
+        )
+
+    def match_terms_fuzzy(
+        self, field, prefix, rest, min_similarity, limit, is_match=None
+    ) -> list[str]:
+        from lucene_spark.index.expansion import match_terms_fuzzy
+
+        return match_terms_fuzzy(
+            self.term_dict, field, prefix, rest, min_similarity, limit, is_match
+        )
+
+    def match_terms_range(
+        self, field, lower, upper, inclusive, limit
+    ) -> list[str]:
+        from lucene_spark.index.expansion import match_terms_range
+
+        return match_terms_range(
+            self.term_dict, field, lower, upper, inclusive, limit
+        )
 
     def avg_field_len(self, field: str) -> float:
         fs = self.stats["fields"][field]

@@ -19,6 +19,38 @@ LANG_EN_MARKERS = (
     "in", "is", "it", "of", "on", "or", "that", "the", "to", "with",
 )
 
+# Multilingual function-word profiles (round 4): the same marker-ratio
+# heuristic generalized to the 10 most common web languages. ASCII-only
+# marker words on purpose — the shared TOKEN_PATTERN is [a-z0-9]+, so
+# an accented marker could never match; every language here has ample
+# ASCII function words. Keys sorted ascending: the argmax tie-break is
+# (ratio DESC, lang ASC) in BOTH the Spark expression and the SQL
+# oracle. Stdlib-honest: a statistical classifier (fastText & co.)
+# would slot into the same shape (per-language score columns → argmax).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den",
+           "nicht", "ein", "eine", "zu", "auf", "im", "sich"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "it",
+           "with", "as", "was", "on", "are", "this"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las",
+           "por", "con", "una", "para", "es", "su"),
+    "fr": ("le", "les", "de", "des", "et", "en", "un", "une", "du",
+           "que", "pour", "dans", "est", "qui", "au"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+           "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke"),
+    "it": ("il", "di", "che", "e", "un", "una", "per", "con", "del",
+           "le", "si", "non", "sono", "nel", "alla"),
+    "nl": ("de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+           "in", "je", "niet", "zijn", "op", "aan"),
+    "pt": ("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma",
+           "para", "com", "os", "no", "se"),
+    "sv": ("och", "att", "det", "som", "en", "av", "den", "till",
+           "har", "de", "inte", "om", "han", "men", "var"),
+    "tr": ("bir", "ve", "bu", "da", "de", "icin", "ile", "olarak",
+           "cok", "daha", "gibi", "kadar", "sonra", "ama", "ne"),
+}
+LANG_MIN_RATIO = 0.05  # below it the text is 'und' (shared with SQL)
+
 # "BPE-ish" piece pattern: letter runs, single digits, or single
 # non-alphanumeric glyphs — a cheap proxy for subword token counts.
 BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"

@@ -114,11 +114,18 @@ def decode_postings(
         qid_lists.setdefault((t.field, t.text), []).append(i)
     qid_map = {k: v[0] for k, v in qid_lists.items()}
     dup_map = {v[0]: v[1:] for v in qid_lists.values() if len(v) > 1}
+    # per-field In filters, OR'd across the (few) fields: a flat In
+    # node instead of a per-term OR chain — a left-deep chain overflows
+    # the JVM stack during column conversion past ~300 terms (a fuzzy
+    # rewrite emits up to 1024), and parquet pushes In down just as well
+    by_field: dict[str, list[str]] = {}
+    for t in terms:
+        by_field.setdefault(t.field, []).append(t.text)
     cond = reduce(
         lambda a, b: a | b,
         [
-            (F.col("field") == t.field) & (F.col("term") == t.text)
-            for t in terms
+            (F.col("field") == f) & F.col("term").isin(sorted(set(texts)))
+            for f, texts in by_field.items()
         ],
     )
     # explicit projection: mapInPandas consumes whatever it is given, so
@@ -135,8 +142,6 @@ def decode_postings(
 
     flt_bc = None
     if doc_filter is not None:
-        if need_positions:
-            raise ValueError("doc_filter is not supported with need_positions")
         flt = np.sort(np.asarray(doc_filter, dtype=np.int64))
         # one sc.broadcast, not a closure capture: the candidate set can
         # be MBs and must ship to each executor once, not per task
@@ -183,9 +188,25 @@ def decode_postings(
                 "dl": dls.astype(np.int32),
             }
             res = pd.DataFrame(data)
-            if flt_bc is not None and not need_positions:
+            if need_positions:
+                # positions: per-(doc) runs of tf gaps, runs reset at
+                # each doc — reconstruct flat then split per doc.
+                # (Decoded BEFORE any doc_filter mask: varbyte streams
+                # can't be entered mid-block, and the splits derive
+                # from the UNfiltered tf run lengths.)
+                pgaps = vb_decode(b"".join(pdf["pos_bin"])).astype(np.int64)
+                run_starts = np.cumsum(tfs) - tfs  # doc-run starts (flat)
+                pcs = np.cumsum(pgaps)
+                prior_p = np.where(run_starts > 0, pcs[run_starts - 1], 0)
+                offs = np.zeros(len(pgaps), dtype=np.int64)
+                offs[run_starts] = np.diff(prior_p, prepend=np.int64(0))
+                pos = pcs - np.cumsum(offs)
+                splits = np.cumsum(tfs)[:-1]
+                res["positions"] = np.split(pos.astype(np.int32), splits)
+            if flt_bc is not None:
                 # sorted-membership mask: rows off the candidate set
-                # never leave the kernel (cuts the Arrow transfer)
+                # never leave the kernel (cuts the Arrow transfer —
+                # for position decodes that's the heaviest column)
                 cand = flt_bc.value
                 idx = np.searchsorted(cand, docs)
                 idx[idx == len(cand)] = 0
@@ -197,18 +218,6 @@ def decode_postings(
                 res = res[keep_rows]
                 if len(res) == 0:
                     continue
-            if need_positions:
-                # positions: per-(doc) runs of tf gaps, runs reset at
-                # each doc — reconstruct flat then split per doc
-                pgaps = vb_decode(b"".join(pdf["pos_bin"])).astype(np.int64)
-                run_starts = np.cumsum(tfs) - tfs  # doc-run starts (flat)
-                pcs = np.cumsum(pgaps)
-                prior_p = np.where(run_starts > 0, pcs[run_starts - 1], 0)
-                offs = np.zeros(len(pgaps), dtype=np.int64)
-                offs[run_starts] = np.diff(prior_p, prepend=np.int64(0))
-                pos = pcs - np.cumsum(offs)
-                splits = np.cumsum(tfs)[:-1]
-                res["positions"] = np.split(pos.astype(np.int32), splits)
             if dup_map:
                 # duplicate query terms: re-emit their rows per extra qid
                 copies = [res]
@@ -752,13 +761,22 @@ class SparkSearcher:
         return df.select("qid", "doc_id", score.alias("score"))
 
     # ---- recursive node compilation -----------------------------------
-    def _node_df(self, q: Query, qn: float, mode: str, src=None) -> DataFrame | None:
+    def _node_df(
+        self, q: Query, qn: float, mode: str, src=None, doc_filter=None
+    ) -> DataFrame | None:
         """DF (doc_id, score) with only score≠0 rows (matched docs).
 
         ``src``: optional conjunction-restricted postings view handed
         down by an enclosing required context (BooleanQuery with a
         selective required term) — every decode in this subtree then
         reads only blocks overlapping the rare term's doc buckets.
+
+        ``doc_filter``: optional candidate doc-id array (same enclosing
+        required context, row-level): any hit must carry the rare
+        required term, so every decode in the subtree may drop rows
+        outside the candidate set inside the kernel — phrase position
+        decodes (the heaviest) use it; block-span restriction alone
+        cannot cut rows for uniformly scattered terms (BASELINE §6.1).
         """
         ix = self.index
         N = ix.n_docs
@@ -871,16 +889,63 @@ class SparkSearcher:
                         src = _conjunction_restricted_postings(
                             ix, _collect_terms(q), rare
                         )
-            subs = []
+                        # row-level cut for phrase children: the
+                        # '+conv_id:X +text:"exact phrase"' shape — the
+                        # rare term's doc ids (df-bounded collect, same
+                        # bound as the intersect path) filter the
+                        # phrase's position decode inside the kernel,
+                        # so its Arrow transfer shrinks from df(term)
+                        # rows to |candidates ∩ postings|
+                        if doc_filter is None and ix.doc_freq(
+                            rare
+                        ) <= RAREST_FETCH_MAX_DF and any(
+                            isinstance(sub, PhraseQuery) for sub in q.subqueries
+                        ):
+                            doc_filter = np.unique(
+                                decode_postings(ix, [rare], docs_only=True)
+                                .select("doc_id")
+                                .toPandas()["doc_id"]
+                                .to_numpy(np.int64)
+                            )
+            # Batch TermQuery children into ONE leaf decode: a fuzzy/
+            # wildcard rewrite emits up to 1024 per-term-boosted
+            # TermQuery clauses (Fuzzy.php:147-298 boost ordering), and
+            # per-clause execution would run one scan+decode per clause
+            # (observed: 2656 tasks / 238 s for a 332-term fuzzy at
+            # sf0.01). One _leaf_df with per-qid boosts/values produces
+            # EXACTLY the per-clause rows (each clause yields one row
+            # per matching doc), so _m/_mr/score semantics are
+            # unchanged. Duplicate terms stay on the per-clause path —
+            # decode qids must map 1:1 to unique (field, term) keys.
+            batch: list[tuple[Query, bool | None]] = []
+            pro_batch: list[Term] = []
+            seen_keys: set[tuple] = set()
+            others: list[tuple[Query, bool | None]] = []
             for i, sub in enumerate(q.subqueries):
                 s = True if signs is None else signs[i]
-                df = self._node_df(sub, child_qn, mode, src=src)
-                subs.append((df, s))
-            pos = [(df, s) for df, s in subs if s is not False]
-            pro = [df for df, s in subs if s is False]
-            pro_qs = [
-                sub for sub, (_df, s) in zip(q.subqueries, subs) if s is False
-            ]
+                key = None
+                if isinstance(sub, TermQuery):
+                    key = (sub.term.field, sub.term.text)
+                if key is not None and key not in seen_keys:
+                    seen_keys.add(key)
+                    if s is False:
+                        pro_batch.append(sub.term)
+                    else:
+                        batch.append((sub, s))
+                else:
+                    others.append((sub, s))
+            pos = []
+            pro = []
+            pro_qs: list[Query] = []
+            for sub, s in others:
+                df = self._node_df(
+                    sub, child_qn, mode, src=src, doc_filter=doc_filter
+                )
+                if s is False:
+                    pro.append(df)
+                    pro_qs.append(sub)
+                else:
+                    pos.append((df, s))
             tagged = [
                 df.select(
                     "doc_id",
@@ -890,8 +955,44 @@ class SparkSearcher:
                 )
                 for i, (df, s) in enumerate(pos)
             ]
-            un = reduce(lambda a, b: a.unionByName(b), tagged)
             n_req = sum(1 for _df, s in pos if s is True or signs is None)
+            if batch:
+                b_terms = [sub.term for sub, _s in batch]
+                b_boosts = [sub.boost for sub, _s in batch]
+                if mode == "classic":
+                    b_values = [
+                        term_value(sub.term, sub.boost, child_qn)
+                        for sub, _s in batch
+                    ]
+                else:
+                    b_values = [
+                        bm25_idf(ix.doc_freq(t), N) for t in b_terms
+                    ]
+                leaf = self._leaf_df(b_terms, b_boosts, b_values, mode, src=src)
+                req_qids = [i for i, (_sub, s) in enumerate(batch) if s is True]
+                is_req = (
+                    F.col("qid").isin(req_qids).cast("int")
+                    if req_qids
+                    else F.lit(0)
+                )
+                tagged.append(
+                    leaf.select(
+                        "doc_id",
+                        "score",
+                        (F.col("qid") + F.lit(len(pos))).alias("_cid"),
+                        is_req.alias("_req"),
+                    )
+                )
+                n_req += len(req_qids)
+            if pro_batch:
+                pro.append(
+                    decode_postings(src or ix, pro_batch, docs_only=True).select(
+                        "doc_id", F.lit(0.0).alias("score")
+                    )
+                )
+                pq = MultiTermQuery(pro_batch, [None] * len(pro_batch))
+                pro_qs.append(pq)
+            un = reduce(lambda a, b: a.unionByName(b), tagged)
             agg = un.groupBy("doc_id").agg(
                 F.sum("score").alias("_s"),
                 F.count("*").alias("_m"),
@@ -918,7 +1019,7 @@ class SparkSearcher:
                     coord = sim.coord(len(q.subqueries), len(q.subqueries))
                     score = F.col("_s") * F.lit(coord) * F.lit(coord) * F.lit(q.boost)
                 else:
-                    max_coord = len(pos)
+                    max_coord = len(pos) + len(batch)
                     score = (
                         F.col("_s")
                         * sim.coord_expr(F.col("_m"), max_coord)
@@ -929,14 +1030,14 @@ class SparkSearcher:
             return agg.select("doc_id", score.alias("score"))
 
         if isinstance(q, PhraseQuery):
-            return self._phrase_df(q, qn, mode, src=src)
+            return self._phrase_df(q, qn, mode, src=src, doc_filter=doc_filter)
 
         if isinstance(q, (Insignificant, EmptyResult)):
             return None
         raise TypeError(f"cannot execute {type(q).__name__}")
 
     def _phrase_df(
-        self, q: PhraseQuery, qn: float, mode: str, src=None
+        self, q: PhraseQuery, qn: float, mode: str, src=None, doc_filter=None
     ) -> DataFrame:
         """Phrase matching with ONE shuffle: decoded per-term positions
         are grouped by doc_id (collect_list of (qid, positions)) instead
@@ -956,7 +1057,9 @@ class SparkSearcher:
         rare = min(uniq, key=lambda t: ix.doc_freq(t))
         if src is None and ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= ix.n_docs:
             src = _conjunction_restricted_postings(ix, uniq, rare)
-        posts = decode_postings(src or ix, uniq, need_positions=True)
+        posts = decode_postings(
+            src or ix, uniq, need_positions=True, doc_filter=doc_filter
+        )
         # pivot to one positions column per unique term (each (term,doc)
         # appears exactly once — blocks are doc-disjoint) — plain array
         # columns keep the freq kernel 100% numpy, no nested structs

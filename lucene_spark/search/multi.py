@@ -18,18 +18,28 @@ Two statistics modes:
   driver (a handful of integers per query term/field — df sums, total
   N, merged avgdl) and injected into every sub-query through a stats
   proxy, so a document scores identically wherever it is sharded.
-  Dictionary expansions (wildcard/fuzzy/range) still run per shard,
-  like mainstream distributed search engines.
+
+Dictionary expansion (wildcard/fuzzy/range) is MERGED across shards,
+like the reference's ``TermStreamsPriorityQueue`` k-way term-stream
+merge (src/TermStreamsPriorityQueue.php:222-330, src/Index.php:
+1190-1276): the query is rewritten ONCE against the union of the
+shards' dictionaries, so the 1024-term expansion caps select one
+GLOBAL term set — per-shard expansion could pick different terms per
+shard near the cap. The rewritten (primitive) query is then handed to
+every shard; re-rewriting a primitive tree is a no-op.
 """
 
 from __future__ import annotations
 
+import heapq
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
 from lucene_spark.index.builder import SparkIndex
 from lucene_spark.search.executor import SparkSearcher
+from lucene_spark.search.parser import parse_query
+from lucene_spark.search.query import Query
 
 
 class _GlobalStatsView:
@@ -73,6 +83,97 @@ class MultiSearcher:
             acc += ix.n_docs
         self.total_docs = acc
 
+    # ---- merged reader protocol (for ONE global query rewrite) ----
+    # MultiSearcher itself satisfies enough of IndexReader for
+    # Query.rewrite/optimize: field names, analyzer, doc freqs, and —
+    # the reference-parity piece — a MERGED term dictionary.
+
+    def field_names(self, indexed_only: bool = True) -> list[str]:
+        out: list[str] = []
+        for ix in self.indexes:
+            for f in ix.field_names(indexed_only):
+                if f not in out:
+                    out.append(f)
+        return out
+
+    def analyzer(self):
+        return self.indexes[0].analyzer()
+
+    def set_default_search_field(self, f: str | None):
+        for ix in self.indexes:
+            ix.set_default_search_field(f)
+
+    def default_search_field(self):
+        return self.indexes[0].default_search_field()
+
+    @property
+    def n_docs(self) -> int:
+        return self.total_docs
+
+    def prefetch_terms(self, terms) -> None:
+        for ix in self.indexes:
+            ix.prefetch_terms(terms)
+
+    def doc_freq(self, term) -> int:
+        return self.global_doc_freq(term)
+
+    def has_term(self, term) -> bool:
+        return any(ix.has_term(term) for ix in self.indexes)
+
+    def avg_field_len(self, field: str) -> float:
+        return self.global_avg_field_len(field)
+
+    def terms_from(self, field: str, start: str = ""):
+        """K-way merged sorted term stream over all shards, duplicates
+        collapsed — the reference's TermStreamsPriorityQueue semantics
+        (TermStreamsPriorityQueue.php:222-330) over per-shard
+        ``terms_from`` cursors. Lazy: shards page only as consumed."""
+        merged = heapq.merge(*[ix.terms_from(field, start) for ix in self.indexes])
+        last = None
+        for t in merged:
+            if t != last:
+                last = t
+                yield t
+
+    def _merged_term_dict(self) -> DataFrame:
+        """Distinct (field, term) union of the shards' dictionaries —
+        the distributed-expansion source (one dictionary-sized shuffle,
+        reused by every expansion in the rewrite)."""
+        un = reduce(
+            lambda a, b: a.unionByName(b),
+            [ix.term_dict.select("field", "term") for ix in self.indexes],
+        )
+        return un.distinct()
+
+    def match_terms_regex(self, field, prefix, java_regex, limit, is_match=None):
+        from lucene_spark.index.expansion import match_terms_regex
+
+        return match_terms_regex(
+            self._merged_term_dict(), field, prefix, java_regex, limit, is_match
+        )
+
+    def match_terms_fuzzy(
+        self, field, prefix, rest, min_similarity, limit, is_match=None
+    ):
+        from lucene_spark.index.expansion import match_terms_fuzzy
+
+        return match_terms_fuzzy(
+            self._merged_term_dict(),
+            field,
+            prefix,
+            rest,
+            min_similarity,
+            limit,
+            is_match,
+        )
+
+    def match_terms_range(self, field, lower, upper, inclusive, limit):
+        from lucene_spark.index.expansion import match_terms_range
+
+        return match_terms_range(
+            self._merged_term_dict(), field, lower, upper, inclusive, limit
+        )
+
     # ---- merged corpus statistics (driver-side integers) ----
     def global_doc_freq(self, term) -> int:
         return sum(ix.doc_freq(term) for ix in self.indexes)
@@ -108,6 +209,16 @@ class MultiSearcher:
         # monotone global scale. Default (reference-parity) mode keeps
         # the per-shard normalization the reference itself exhibits.
         global_classic = global_stats and score_mode == "classic"
+        # ONE global rewrite against the merged dictionary (reference:
+        # TermStreamsPriorityQueue term-stream merge) — wildcard/fuzzy/
+        # range caps select a single global term set. Shards receive the
+        # primitive tree; their own rewrite pass is then a no-op and
+        # their optimize() prunes locally-missing terms as usual.
+        if isinstance(query, str):
+            self.set_default_search_field(default_field)
+            query = parse_query(query, default_field)
+        if isinstance(query, Query):
+            query = query.rewrite(self)
         parts = []
         for ix, off in zip(self.indexes, self.offsets):
             target = _GlobalStatsView(ix, self) if global_stats else ix

@@ -449,6 +449,35 @@ class PhraseQuery(Query):
         return s + _fmt_boost(self)
 
 
+def _java_wildcard_regex(pattern: str) -> str:
+    """Anchored Java-regex equivalent of a * / ? wildcard pattern, for
+    the JVM-side ``rlike`` prefilter (distributed expansion). Escapes
+    every non-alphanumeric ASCII char — Java regex treats an escaped
+    punctuation char as the literal; alphanumerics must stay bare (\\w
+    etc. would become classes)."""
+    out = []
+    for c in pattern:
+        if c == "?":
+            out.append(".")
+        elif c == "*":
+            out.append(".*")
+        elif c.isalnum() or ord(c) > 127:
+            out.append(c)
+        else:
+            out.append("\\" + c)
+    return "^" + "".join(out) + "$"
+
+
+def _prefix_term_scan(reader, field: str, prefix: str):
+    """Sorted terms of ``field`` under ``prefix`` via the generic
+    ``terms_from`` iterator (fallback for readers without distributed
+    expansion), with the reference's break-on-prefix-exhausted."""
+    for text in reader.terms_from(field, prefix):
+        if prefix and not text.startswith(prefix):
+            break
+        yield text
+
+
 def _wildcard_prefix(pattern: str) -> str:
     qm = pattern.find("?")
     st = pattern.find("*")
@@ -486,11 +515,23 @@ class WildcardQuery(Query):
         rx = re.compile(
             "^" + re.escape(self.pattern.text).replace(r"\?", ".").replace(r"\*", ".*") + "$"
         )
+        distributed = hasattr(reader, "match_terms_regex")
         matches: list[Term] = []
         for field in fields:
-            for text in reader.terms_from(field, prefix):
-                if prefix and not text.startswith(prefix):
-                    break
+            if distributed:
+                # JVM rlike inside the pushed-down term_dict scan — the
+                # driver sees candidate terms only (≤ limit + ε), not
+                # dictionary pages; the Python regex stays authoritative
+                source = reader.match_terms_regex(
+                    field,
+                    prefix,
+                    _java_wildcard_regex(self.pattern.text),
+                    TERMS_PER_QUERY_LIMIT,
+                    is_match=rx.match,
+                )
+            else:
+                source = _prefix_term_scan(reader, field, prefix)
+            for text in source:
                 if rx.match(text):
                     matches.append(Term(text, field))
                     if len(matches) > TERMS_PER_QUERY_LIMIT:
@@ -560,30 +601,49 @@ class FuzzyQuery(Query):
         rest_len = len(term_rest)
         scale = 1.0 / (1.0 - self.min_similarity)
 
+        def sim_of(text: str) -> float:
+            """The reference similarity (Fuzzy.php:147-298) — the
+            authoritative Python formula; the JVM prefilter in
+            index/expansion.py mirrors it epsilon-banded."""
+            target = text[prefix_len:]
+            max_dist = int(
+                (1.0 - self.min_similarity) * (min(rest_len, len(target)) + prefix_len)
+            )
+            if rest_len == 0:
+                return 0.0 if prefix_len == 0 else 1.0 - len(target) / prefix_len
+            if target == "":
+                return 0.0 if prefix_len == 0 else 1.0 - rest_len / prefix_len
+            if max_dist < abs(rest_len - len(target)):
+                return 0.0
+            if prefix:
+                return 1.0 - _levenshtein(term_rest, target) / (
+                    prefix_len + min(rest_len, len(target))
+                )
+            return 1.0 - _levenshtein(term_rest, target) / min(
+                rest_len, len(target)
+            )
+
+        distributed = hasattr(reader, "match_terms_fuzzy")
         matches: list[Term] = []
         scores: list[float] = []
         for field in fields:
-            for text in reader.terms_from(field, prefix):
-                if prefix and not text.startswith(prefix):
-                    break
-                target = text[prefix_len:]
-                max_dist = int(
-                    (1.0 - self.min_similarity) * (min(rest_len, len(target)) + prefix_len)
+            if distributed:
+                # levenshtein + similarity arithmetic run JVM-side over
+                # the dictionary slice (the WHOLE field dictionary when
+                # prefix_length=0) — the driver collects only candidate
+                # terms (≤ limit + ε), never vocabulary pages
+                source = reader.match_terms_fuzzy(
+                    field,
+                    prefix,
+                    term_rest,
+                    self.min_similarity,
+                    TERMS_PER_QUERY_LIMIT,
+                    is_match=lambda t: sim_of(t) > self.min_similarity,
                 )
-                if rest_len == 0:
-                    sim = 0.0 if prefix_len == 0 else 1.0 - len(target) / prefix_len
-                elif target == "":
-                    sim = 0.0 if prefix_len == 0 else 1.0 - rest_len / prefix_len
-                elif max_dist < abs(rest_len - len(target)):
-                    sim = 0.0
-                elif prefix:
-                    sim = 1.0 - _levenshtein(term_rest, target) / (
-                        prefix_len + min(rest_len, len(target))
-                    )
-                else:
-                    sim = 1.0 - _levenshtein(term_rest, target) / min(
-                        rest_len, len(target)
-                    )
+            else:
+                source = _prefix_term_scan(reader, field, prefix)
+            for text in source:
+                sim = sim_of(text)
                 if sim > self.min_similarity:
                     matches.append(Term(text, field))
                     scores.append((sim - self.min_similarity) * scale)
@@ -623,16 +683,24 @@ class RangeQuery(Query):
 
     def rewrite(self, reader):
         fields = [self.field] if self.field is not None else reader.field_names(True)
+        distributed = hasattr(reader, "match_terms_range")
         matches: list[Term] = []
         for field in fields:
             lo = self.lower.text if self.lower is not None else ""
             up = self.upper.text if self.upper is not None else None
-            for text in reader.terms_from(field, lo):
-                if not self.inclusive and self.lower is not None and text == lo:
-                    continue
-                if up is not None:
-                    if text > up or (text == up and not self.inclusive):
-                        break
+            if distributed:
+                # pure range predicate — pushed down into the sorted
+                # term_dict scan; one job instead of cursor pages
+                source = reader.match_terms_range(
+                    field,
+                    self.lower.text if self.lower is not None else None,
+                    up,
+                    self.inclusive,
+                    TERMS_PER_QUERY_LIMIT,
+                )
+            else:
+                source = self._range_term_scan(reader, field, lo, up)
+            for text in source:
                 matches.append(Term(text, field))
                 if len(matches) > TERMS_PER_QUERY_LIMIT:
                     raise ValueError("Terms per query limit is reached.")
@@ -641,6 +709,18 @@ class RangeQuery(Query):
         if len(matches) == 1:
             return TermQuery(matches[0])
         return MultiTermQuery(matches, [None] * len(matches))
+
+    def _range_term_scan(self, reader, field: str, lo: str, up: str | None):
+        """terms_from fallback with the reference's bound handling
+        (Range.php:138-219): skip an exclusive lower bound, break past
+        the upper."""
+        for text in reader.terms_from(field, lo):
+            if not self.inclusive and self.lower is not None and text == lo:
+                continue
+            if up is not None:
+                if text > up or (text == up and not self.inclusive):
+                    break
+            yield text
 
     def __str__(self):
         lb, rb = ("[", "]") if self.inclusive else ("{", "}")

