@@ -1509,6 +1509,68 @@ FROM r
 """
 
 
+def _tx_lang_multi(spark, sf_dir):
+    """10-language marker-argmax language ID (round 4) over a
+    deterministic multilingual fixture: doc doc_id gets the function-
+    word sentence of language (doc_id % 10) prepended to the first 80
+    chars of its English text — the marker block dominates the ratio,
+    so the expected argmax is lang[doc_id % 10] with the English tail
+    as realistic noise. Oracle mirrors the synthesis, the ratios, the
+    threshold, and the (ratio DESC, lang ASC) tie-break exactly."""
+    from lucene_spark.ops.textstats import LANG_MARKERS, lang_id_multi
+
+    langs = sorted(LANG_MARKERS)
+    sents = F.array(*[F.lit(" ".join(LANG_MARKERS[l])) for l in langs])
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(sents, (F.col("doc_id") % 10 + 1).cast("int")),
+            F.substring("text", 1, 80),
+        ).alias("text"),
+    )
+    out = lang_id_multi(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").cast("long").alias("id"), "best_ratio", "lang"
+    )
+
+
+def _tx_lang_multi_sql() -> str:
+    from lucene_spark.ops.textstats import LANG_MARKERS, LANG_MIN_RATIO
+
+    langs = sorted(LANG_MARKERS)
+    sent_arr = ", ".join(f"'{' '.join(LANG_MARKERS[l])}'" for l in langs)
+    ratio_cols = ",\n           ".join(
+        "CASE WHEN len(l) > 0 THEN len(list_filter(l, x -> x IN ("
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"))) / len(l) ELSE 0.0 END AS r_{lang}"
+        for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    case_arms = " ".join(
+        f"WHEN r_{lang} = gmax THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH synth AS (
+    SELECT doc_id,
+           concat(([{sent_arr}])[doc_id % 10 + 1], ' ',
+                  substr(text, 1, 80)) AS text
+    FROM documents
+),
+t AS (SELECT doc_id, {TOKEN_SQL} AS l FROM synth),
+r AS (
+    SELECT doc_id,
+           {ratio_cols}
+    FROM t
+),
+g AS (SELECT *, {gmax} AS gmax FROM r)
+SELECT doc_id::BIGINT AS id, round(gmax, 6) AS best_ratio,
+       CASE WHEN gmax < {LANG_MIN_RATIO} THEN 'und' {case_arms}
+            ELSE 'und' END AS lang
+FROM g
+"""
+
+
 def _tx_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir), "doc_id", "text").select(
         F.col("id").cast("long").alias("id"),
@@ -1950,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs": _ann_pairs,
         "ann_pairs_lsh": _ann_pairs_lsh,
         "tx_lang_id": _tx_lang,
+        "tx_lang_id_multi": _tx_lang_multi,
         "tx_quality": _tx_quality,
         "tx_token_counts": _tx_token_counts,
         "tx_fingerprint": _tx_fingerprint,
@@ -2009,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs": _ANN_PAIRS_SQL,
         "ann_pairs_lsh": _ANN_LSH_SQL,
         "tx_lang_id": _TX_LANG_SQL,
+        "tx_lang_id_multi": _tx_lang_multi_sql(),
         "tx_quality": _TX_QUALITY_SQL,
         "tx_token_counts": _TX_TOKEN_COUNTS_SQL,
         "tx_fingerprint": _TX_FP_SQL,

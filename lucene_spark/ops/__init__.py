@@ -37,6 +37,7 @@ from lucene_spark.ops.sampling import (
 from lucene_spark.ops.textstats import (
     fingerprint,
     lang_id,
+    lang_id_multi,
     quality_score,
     token_counts,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "ivf_topk",
     "fingerprint",
     "lang_id",
+    "lang_id_multi",
     "quality_score",
     "token_counts",
 ]

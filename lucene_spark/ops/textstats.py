@@ -82,6 +82,44 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def lang_id_multi(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, best_ratio, lang) — 10-language function-word argmax.
+
+    Per language: ratio = |tokens ∩ markers| / |tokens| (LANG_MARKERS).
+    lang = argmax ratio when the max is >= LANG_MIN_RATIO, else 'und';
+    ties break to the alphabetically-first language code — the SQL
+    oracle evaluates its CASE arms in the same order. Pure Catalyst
+    higher-order-function expressions: one projection, no shuffle,
+    no Python."""
+    toks = tokens(text_col)
+    df2 = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n = F.size("toks")
+    def _in_markers(ms):
+        # single-arg lambda builder: a two-parameter lambda would make
+        # F.filter pass (element, INDEX) and bind the index column
+        return lambda t: t.isin(ms)
+
+    entries = []
+    for lang in sorted(LANG_MARKERS):
+        markers = [F.lit(m) for m in LANG_MARKERS[lang]]
+        hits = F.size(F.filter(F.col("toks"), _in_markers(markers)))
+        ratio = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+        # sort key (-ratio, lang): ascending struct sort = ratio DESC,
+        # lang ASC — the deterministic argmax shared with the oracle
+        entries.append(
+            F.struct((-ratio).alias("neg"), F.lit(lang).alias("lang"))
+        )
+    best = F.sort_array(F.array(*entries))[0]
+    best_ratio = -best["neg"]
+    return df2.select(
+        "id",
+        F.round(best_ratio, 6).alias("best_ratio"),
+        F.when(best_ratio >= LANG_MIN_RATIO, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, uniq_ratio, mean_tok_len, stop_ratio, quality).
 

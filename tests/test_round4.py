@@ -410,3 +410,55 @@ class TestPositionAwareDocFilter:
         assert [g[0] for g in got] == [w[0] for w in want], qs
         for g, w in zip(got, want):
             assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+class TestMultilingualLangId:
+    """Round-4: 10-language function-word argmax (ops.lang_id_multi)."""
+
+    def test_real_sentences(self, spark):
+        from lucene_spark.ops import lang_id_multi
+
+        samples = [
+            ("de", "der hund und die katze sind nicht mit dem auto zu "
+                   "hause geblieben weil das wetter ist schlecht"),
+            ("en", "the quick brown fox jumped over the lazy dog and it "
+                   "was chased by the farmer for an hour in the field"),
+            ("es", "el perro y el gato de la casa corren por el parque "
+                   "con una pelota para que los ninos jueguen"),
+            ("fr", "le chien et le chat de la maison courent dans le "
+                   "parc avec une balle pour que les enfants jouent"),
+            ("id", "anjing dan kucing itu berlari di taman dengan bola "
+                   "untuk anak anak yang sedang bermain di sana"),
+            ("it", "il cane e il gatto della casa corrono nel parco con "
+                   "una palla per i bambini che sono felici"),
+            ("nl", "de hond en de kat van het huis rennen in het park "
+                   "met een bal voor de kinderen die niet moe zijn"),
+            ("pt", "o cachorro e o gato da casa correm no parque com "
+                   "uma bola para que as criancas possam brincar"),
+            ("sv", "hunden och katten som bor i huset springer i parken "
+                   "med en boll till barnen som inte har det"),
+            ("tr", "evdeki kopek ve kedi parkta bir top ile cocuklar "
+                   "icin kosuyor ve bu cok guzel bir gun ama yorgun"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, (_l, t) in enumerate(samples)],
+            "id long, text string",
+        )
+        out = {
+            r["id"]: (r["lang"], r["best_ratio"])
+            for r in lang_id_multi(df, "id", "text").collect()
+        }
+        for i, (want_lang, _t) in enumerate(samples):
+            got_lang, ratio = out[i]
+            assert got_lang == want_lang, (want_lang, got_lang, ratio)
+            assert ratio >= 0.05
+
+    def test_und_on_gibberish(self, spark):
+        from lucene_spark.ops import lang_id_multi
+
+        df = spark.createDataFrame(
+            [(0, "zzqx vvkpt lmnor aaa111 brzk xyzzy"), (1, "")],
+            "id long, text string",
+        )
+        out = {r["id"]: r["lang"] for r in lang_id_multi(df, "id", "text").collect()}
+        assert out == {0: "und", 1: "und"}
