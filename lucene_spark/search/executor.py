@@ -1860,7 +1860,11 @@ def _topk_and_intersect(
     cb = np.unique(cand_ids // CAND_BUCKET)
     all_cond = _terms_cond(terms)
     if others and len(cb) <= INTERSECT_BLOCK_RESTRICT_MAX_BKTS:
-        cb_df = spark.createDataFrame([(int(x),) for x in cb], "_cbkt long")
+        # Arrow-shipped (pandas) rather than a py4j tuple list: the
+        # bucket table can reach 65536 rows at the 1M-df bound
+        cb_df = spark.createDataFrame(
+            pd.DataFrame({"_cbkt": cb.astype(np.int64)})
+        )
         other_keys = (
             index.postings.where(_terms_cond(others))
             .select(*_WAND_META_COLS, "max_docid")
@@ -2421,7 +2425,9 @@ def topk_wand_and(
         bkt_ids = [r["_bkt"] for r in top_b]
         if not bkt_ids:
             break
-        seed_df = spark.createDataFrame([(int(x),) for x in bkt_ids], "_bkt long")
+        seed_df = spark.createDataFrame(
+            pd.DataFrame({"_bkt": np.asarray(bkt_ids, dtype=np.int64)})
+        )
         seed_keys = (
             bmeta.join(F.broadcast(seed_df), "_bkt", "leftsemi")
             .select(*_WAND_META_COLS)
