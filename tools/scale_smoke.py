@@ -92,7 +92,6 @@ def main():
         scoped = s.search(f"+conv_id:{conv} +text:table", k=10).collect()
         t_scoped = time.time() - t0
         assert len(scoped) > 0
-
         from lucene_spark.search.executor import topk_term_pruned
         from lucene_spark.search.query import Term
 
@@ -128,6 +127,29 @@ def main():
         ) == sorted((round(r["score"], 9) for r in ph_cg), reverse=True), (
             "cogroup phrase top-k must equal exact"
         )
+        # round-4: conversation-scoped PHRASE — the rare conv_id term's
+        # doc ids row-filter the phrase's position decode inside the
+        # kernel (doc_filter with need_positions), on top of block-span
+        # restriction. Pick a conversation that provably contains the
+        # phrase (the exact phrase query's top doc) so the scoped query
+        # returns rows.
+        top_doc = ph_exact[0]["doc_id"]
+        conv_ph = (
+            ix.docs.where(F.col("doc_id") == top_doc)
+            .select("conv_id").collect()[0]["conv_id"]
+        )
+        spq = parse_query(
+            f'+conv_id:{conv_ph} +text:"fast value"'
+        ).rewrite(ix).optimize(ix)
+        t0 = time.time()
+        scoped_ph = s.execute(spq, k=10).collect()
+        t_scoped_ph = time.time() - t0
+        # value parity vs the Python model oracle is pytest-covered
+        # (tests/test_round4.py::test_scoped_phrase_parity); here assert
+        # the row-filtered plan still finds the known matching doc
+        assert top_doc in {r["doc_id"] for r in scoped_ph}, (
+            "scoped phrase must contain the phrase's known top doc"
+        )
         print(json.dumps({
             "n_turns": int(ix.n_docs),
             "build_sec": round(build_sec, 1),
@@ -144,6 +166,7 @@ def main():
             "q_phrase_exact_sec": round(t_ph_exact, 2),
             "q_phrase_cogroup_sec": round(t_ph_cg, 2),
             "q_conv_scoped_sec": round(t_scoped, 2),
+            "q_conv_phrase_sec": round(t_scoped_ph, 2),
             "cpus": cpus,
         }))
     finally:
