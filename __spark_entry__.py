@@ -331,6 +331,35 @@ def _ft_classic_bool(spark, sf_dir):
     return _searched(spark, sf_dir, "+table +spark", mode="classic")
 
 
+def _ft_phrase_scoped(spark, sf_dir):
+    """'+conv_id:conv00000001 +text:"fast value"' over the transcripts
+    index with RANGE_PRUNE_QUANTUM forced to 1, so the round-4
+    position-aware doc_filter path engages at gate scale (the rare
+    required conv term's doc ids row-filter the phrase's position
+    decode inside the kernel; naturally the df·quantum·4 ≤ N threshold
+    needs a much larger corpus). The conv is chosen to contain the
+    phrase at sf0.001 and sf0.01 so the gate is non-vacuous; full model
+    parity of this path is also pytest-covered
+    (tests/test_round4.py::TestPositionAwareDocFilter)."""
+    import lucene_spark.search.executor as ex
+
+    ix = _transcripts_index_for(spark, sf_dir)
+    prev = ex.RANGE_PRUNE_QUANTUM
+    ex.RANGE_PRUNE_QUANTUM = 1
+    try:
+        out = SparkSearcher(ix).search(
+            '+conv_id:conv00000001 +text:"fast value"', k=0,
+            score_mode="bm25",
+        )
+    finally:
+        ex.RANGE_PRUNE_QUANTUM = prev
+    out = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(TOPK)
+
+
 def _ft_phrase_sloppy(spark, sf_dir):
     """Sloppy phrase '"fast value"~2' — full oracle check: for TWO-slot
     phrases the reference's candidate queue (Phrase.php:425-491,
@@ -1040,6 +1069,70 @@ result AS (
     FROM tf t
     JOIN ids i ON i.doc_id = t.doc_id AND i.role = 'user'
     JOIN dl l ON l.doc_id = t.doc_id, corp c, dfs x, rs r
+)
+SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+# scoped-phrase oracle: same transcripts synthesis, then conjunction
+# score = exact-phrase BM25 (freq = adjacent-pair count, df = min of
+# the two term dfs) + the conv_id keyword-term contribution (tf=1,
+# dl=1, avgdl=1 → contribution = idf), restricted to the conv's docs.
+_FT_PHRASE_SCOPED_SQL = f"""
+WITH d AS (
+    SELECT doc_id, doc_id // 16 AS conv, {TOKEN_SQL} AS l,
+           greatest(1, CAST(ceil(len({TOKEN_SQL}) / 24.0) AS INT)) AS n_turns
+    FROM documents
+),
+based AS (
+    SELECT *, coalesce(sum(n_turns) OVER (
+        PARTITION BY conv ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_base
+    FROM d
+),
+turns AS (
+    SELECT printf('conv%08d', b.conv) AS conv_id,
+           b.turn_base + g.i AS turn_idx,
+           array_to_string(b.l[(g.i * 24 + 1):(g.i * 24 + 24)], ' ') AS text
+    FROM based b, LATERAL (SELECT unnest(generate_series(0, b.n_turns - 1)) AS i) g
+),
+ids AS (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, *
+    FROM turns
+),
+toks AS (
+    SELECT t.doc_id, t.l[g.i] AS term, g.i AS pos
+    FROM (SELECT doc_id, {TOKEN_SQL} AS l FROM ids) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.l))) AS i) g
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corp AS (
+    SELECT (SELECT count(*) FROM ids) AS n,
+           (SELECT SUM(dl)::DOUBLE / COUNT(*) FROM dl) AS avgdl
+),
+cv AS (SELECT count(*) AS df FROM ids WHERE conv_id = 'conv00000001'),
+ph AS (
+    SELECT a.doc_id, count(*) AS freq
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'fast' AND b.term = 'value'
+    GROUP BY a.doc_id
+),
+dfm AS (
+    SELECT least(
+        (SELECT count(DISTINCT doc_id) FROM toks WHERE term = 'fast'),
+        (SELECT count(DISTINCT doc_id) FROM toks WHERE term = 'value')) AS df
+),
+result AS (
+    SELECT p.doc_id,
+           round(
+               {_bm25_s('p.freq', 'm.df')}
+               +
+               ln(1.0 + (c.n - v.df + 0.5) / (v.df + 0.5)) *
+               ((1 * ({K1} + 1.0)) / (1 + {K1} * ((1.0 - {B}) + {B} * 1.0 / 1.0)))
+           , 6) AS score
+    FROM ph p
+    JOIN ids i ON i.doc_id = p.doc_id AND i.conv_id = 'conv00000001'
+    JOIN dl l ON l.doc_id = p.doc_id, corp c, dfm m, cv v
 )
 SELECT doc_id, score FROM result ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """
@@ -1810,6 +1903,83 @@ FROM documents
 """
 
 
+def _mm_audio(spark, sf_dir):
+    """REAL audio metadata from raw bytes: synthesize complete 16-bit
+    PCM WAVs per doc_id (zeroed sample data, true data-chunk lengths),
+    then chunk-walk the RIFF header (stdlib-only) through the Arrow
+    pipeline. The oracle recomputes rate/channels/samples/duration
+    from the fixture id formula (ops/media_headers.fixture_audio)."""
+    from lucene_spark.ops.multimodal import (
+        attach_synthetic_audio,
+        extract_audio_meta,
+    )
+
+    payloads = attach_synthetic_audio(
+        _docs(spark, sf_dir).select(F.col("doc_id").alias("id")), "id"
+    )
+    return extract_audio_meta(payloads).select(
+        F.col("id").cast("long").alias("id"),
+        "format",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("bits").cast("long").alias("bits"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+# mirrors media_headers.fixture_audio + synth_wav; duration is integer
+# floor division on both sides
+_MM_AUDIO_SQL = """
+SELECT doc_id::BIGINT AS id,
+       'wav' AS format,
+       (1 + doc_id % 2)::BIGINT AS channels,
+       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END)::BIGINT AS sample_rate,
+       16::BIGINT AS bits,
+       (256 + (doc_id * 13) % 1024)::BIGINT AS n_samples,
+       ((256 + (doc_id * 13) % 1024) * 1000 //
+        CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END)::BIGINT AS duration_ms
+FROM documents
+"""
+
+
+def _mm_video(spark, sf_dir):
+    """REAL video metadata from raw bytes: synthesize minimal ISO-BMFF
+    streams (ftyp + moov/mvhd) per doc_id, box-walk to the movie
+    header (stdlib-only). Oracle = the fixture id formula
+    (ops/media_headers.fixture_video)."""
+    from lucene_spark.ops.multimodal import (
+        attach_synthetic_video,
+        extract_video_meta,
+    )
+
+    payloads = attach_synthetic_video(
+        _docs(spark, sf_dir).select(F.col("doc_id").alias("id")), "id"
+    )
+    return extract_video_meta(payloads).select(
+        F.col("id").cast("long").alias("id"),
+        "format",
+        F.col("timescale").cast("long").alias("timescale"),
+        F.col("duration_units").cast("long").alias("duration_units"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+_MM_VIDEO_SQL = """
+SELECT doc_id::BIGINT AS id,
+       'mp4' AS format,
+       (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        ELSE 90000 END)::BIGINT AS timescale,
+       (1000 + (doc_id * 17) % 9000)::BIGINT AS duration_units,
+       ((1000 + (doc_id * 17) % 9000) * 1000 //
+        CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        ELSE 90000 END)::BIGINT AS duration_ms
+FROM documents
+"""
+
+
 # DOM highlighting gate: wrap each document's (entity-escaped) text in
 # a tiny HTML page whose <script> section ALSO contains the query
 # terms, run the reference-parity DOM highlighter with a 3-clause OR
@@ -1986,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_classic_term": _ft_classic_term,
         "ft_classic_bool": _ft_classic_bool,
         "ft_transcripts_bool": _ft_transcripts_bool,
+        "ft_phrase_scoped": _ft_phrase_scoped,
         "ft_wand_topk": _ft_wand,
         "ft_wand_or": _ft_wand_or,
         "ft_wand_and": _ft_wand_and,
@@ -2018,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": _tx_fingerprint,
         "mm_features": _mm_features,
         "mm_dims": _mm_dims,
+        "mm_audio": _mm_audio,
+        "mm_video": _mm_video,
         "hl_html": _hl_html,
         "ft_custom_sim": _ft_custom_sim,
         "smp_split": _smp_split,
@@ -2041,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_classic_term": _FT_CLASSIC_SQL,
         "ft_classic_bool": _FT_CLASSIC_BOOL_SQL,
         "ft_transcripts_bool": _FT_TRANSCRIPTS_SQL,
+        "ft_phrase_scoped": _FT_PHRASE_SCOPED_SQL,
         # block-max WAND is an execution strategy whose output is
         # provably the exact top-k — so it shares the exact paths'
         # oracles and the driver hash-checks the exactness claim
@@ -2078,6 +2252,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_fingerprint": _TX_FP_SQL,
         "mm_features": _MM_SQL,
         "mm_dims": _MM_DIMS_SQL,
+        "mm_audio": _MM_AUDIO_SQL,
+        "mm_video": _MM_VIDEO_SQL,
         "hl_html": _HL_HTML_SQL,
         "ft_custom_sim": _ft_custom_sim_sql(),
         "smp_split": _SMP_SPLIT_SQL,

@@ -1,9 +1,10 @@
-"""Stdlib-only image header parsing: real dimensions from raw bytes.
+"""Stdlib-only media header parsing: real metadata from raw bytes.
 
-The container ships no PIL/ffmpeg, but PNG and JPEG carry their
-dimensions in fixed, documented header structures, so the multimodal
-pipeline can extract REAL width/height/channels with ~60 lines of
-pure-Python byte parsing — no external libs, no full decode:
+The container ships no PIL/ffmpeg, but PNG/JPEG (dimensions), RIFF/WAV
+(channels/rate/sample count) and ISO-BMFF/MP4 (timescale/duration)
+all carry their metadata in fixed, documented header structures, so
+the multimodal pipeline can extract REAL values with pure-Python byte
+parsing — no external libs, no full decode:
 
 - PNG (RFC 2083): 8-byte signature ``\\x89PNG\\r\\n\\x1a\\n``, then the
   IHDR chunk (always first): 4-byte length, ``IHDR``, width (u32 BE),
@@ -99,6 +100,78 @@ def parse_jpeg_header(blob: bytes) -> tuple[int, int, int] | None:
     return None
 
 
+def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, n_samples) from a RIFF/
+    WAVE header, or None if the blob is not a well-formed WAV prefix.
+
+    Walks the chunk list (each ``4-byte tag + u32 LE size + payload``,
+    sizes padded to even offsets per RIFF): the ``fmt `` chunk carries
+    channels/rate/bits, the ``data`` chunk's SIZE gives
+    ``n_samples = size / block_align`` — no sample decode needed.
+    """
+    if len(blob) < 12 or blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(blob)
+    channels = rate = bits = block_align = None
+    n_samples = None
+    while i + 8 <= n:
+        tag = blob[i : i + 4]
+        size = struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        if tag == b"fmt " and size >= 16 and i + 8 + 16 <= n:
+            (_fmt, channels, rate, _brate, block_align, bits) = struct.unpack(
+                "<HHIIHH", blob[i + 8 : i + 8 + 16]
+            )
+        elif tag == b"data":
+            if block_align:
+                n_samples = size // block_align
+            else:
+                return None  # data before fmt — malformed for our needs
+            break
+        i += 8 + size + (size & 1)
+    if not channels or not rate or n_samples is None:
+        return None
+    return int(channels), int(rate), int(bits), int(n_samples)
+
+
+def parse_mp4_header(blob: bytes) -> tuple[int, int] | None:
+    """(timescale, duration_units) from an ISO-BMFF (MP4) ``moov/mvhd``
+    box, or None. Walks top-level boxes (u32 BE size + 4-byte type),
+    descends into ``moov``, reads the movie header: version byte, 3
+    flag bytes, then (version 0) ctime u32, mtime u32, timescale u32,
+    duration u32 — version 1 uses u64 times/duration."""
+    i, n = 0, len(blob)
+    while i + 8 <= n:
+        size = struct.unpack(">I", blob[i : i + 4])[0]
+        box = blob[i + 4 : i + 8]
+        if size < 8 or i + size > n:
+            return None
+        if box == b"moov":
+            j, end = i + 8, i + size
+            while j + 8 <= end:
+                s2 = struct.unpack(">I", blob[j : j + 4])[0]
+                b2 = blob[j + 4 : j + 8]
+                if s2 < 8 or j + s2 > end:
+                    return None
+                if b2 == b"mvhd":
+                    version = blob[j + 8]
+                    if version == 0 and s2 >= 8 + 4 + 16:
+                        ts, dur = struct.unpack(
+                            ">II", blob[j + 20 : j + 28]
+                        )
+                    elif version == 1 and s2 >= 8 + 4 + 28:
+                        ts = struct.unpack(">I", blob[j + 28 : j + 32])[0]
+                        dur = struct.unpack(">Q", blob[j + 32 : j + 40])[0]
+                    else:
+                        return None
+                    if ts == 0:
+                        return None
+                    return int(ts), int(dur)
+                j += s2
+            return None
+        i += size
+    return None
+
+
 def parse_image_header(blob: bytes) -> tuple[str, int, int, int] | None:
     """(format, width, height, channels) for PNG or JPEG bytes, None for
     anything else. The dispatch is by magic bytes — cheap enough to run
@@ -173,3 +246,67 @@ def synth_media(i: int) -> bytes:
     """Round-robin PNG/JPEG by id parity of ``i % 2`` at the format
     level: even ids PNG, odd ids JPEG — both branches byte-valid."""
     return synth_png(i) if i % 2 == 0 else synth_jpeg(i)
+
+
+# audio/video fixture formulas (mirrored verbatim in the mm_audio /
+# mm_video gate oracles):
+#   wav: rate     = [8000, 16000, 22050, 44100][id % 4]
+#        channels = 1 + id % 2, bits = 16
+#        n_samples = 256 + (id * 13) % 1024
+#   mp4: timescale = [600, 1000, 90000][id % 3]
+#        duration_units = 1000 + (id * 17) % 9000
+
+WAV_RATES = (8000, 16000, 22050, 44100)
+MP4_TIMESCALES = (600, 1000, 90000)
+
+
+def fixture_audio(i: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_samples) as a pure function of id."""
+    return WAV_RATES[i % 4], 1 + i % 2, 256 + (i * 13) % 1024
+
+
+def fixture_video(i: int) -> tuple[int, int]:
+    """(timescale, duration_units) as a pure function of id."""
+    return MP4_TIMESCALES[i % 3], 1000 + (i * 17) % 9000
+
+
+def synth_wav(i: int) -> bytes:
+    """Complete byte-valid 16-bit PCM WAV with zeroed sample data sized
+    to the fixture's n_samples (so the data-chunk length — the thing
+    the parser derives n_samples from — is real, not just claimed)."""
+    rate, channels, n_samples = fixture_audio(i)
+    bits = 16
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_mp4(i: int) -> bytes:
+    """Minimal ISO-BMFF stream: ftyp + moov(mvhd v0). The mvhd carries
+    the fixture's timescale/duration; no media data."""
+    ts, dur = fixture_video(i)
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B", 0) + b"\x00\x00\x00"       # version 0 + flags
+        + struct.pack(">II", 0, 0)                    # ctime, mtime
+        + struct.pack(">II", ts, dur)                 # timescale, duration
+        + struct.pack(">I", 0x00010000)               # rate 1.0
+        + struct.pack(">H", 0x0100) + b"\x00" * 10    # volume + reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                                # pre_defined
+        + struct.pack(">I", 2),                       # next_track_id
+    )
+    return ftyp + box(b"moov", mvhd)

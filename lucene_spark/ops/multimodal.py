@@ -161,6 +161,135 @@ def extract_image_dims(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, _DIMS_SCHEMA)
 
 
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("format", StringType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+_VIDEO_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("format", StringType()),
+        StructField("timescale", LongType()),
+        StructField("duration_units", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def attach_synthetic_audio(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """id → complete byte-valid 16-bit PCM WAV whose rate/channels/
+    sample count are a pure function of the id
+    (ops.media_headers.fixture_audio) — oracle-verifiable end-to-end."""
+    from lucene_spark.ops.media_headers import synth_wav
+
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"id": ids.to_numpy(), "payload": [synth_wav(int(i)) for i in ids]}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(kernel, out_schema)
+
+
+def attach_synthetic_video(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """id → minimal byte-valid MP4 (ftyp + moov/mvhd) whose timescale/
+    duration are a pure function of the id
+    (ops.media_headers.fixture_video)."""
+    from lucene_spark.ops.media_headers import synth_mp4
+
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"id": ids.to_numpy(), "payload": [synth_mp4(int(i)) for i in ids]}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(kernel, out_schema)
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """(id, payload binary) → (id, format, channels, sample_rate, bits,
+    n_samples, duration_ms) by REAL RIFF/WAV chunk-walk parsing
+    (ops.media_headers.parse_wav_header — stdlib only). duration_ms is
+    integer floor(n_samples·1000/rate) so a SQL oracle reproduces it
+    exactly. Unrecognized payloads yield null metadata; the payload
+    column is dropped on output."""
+    from lucene_spark.ops.media_headers import parse_wav_header
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, blob in zip(pdf["id"], pdf["payload"]):
+                parsed = parse_wav_header(bytes(blob)) if blob is not None else None
+                if parsed is None:
+                    rows.append((int(i), None, None, None, None, None, None))
+                else:
+                    ch, rate, bits, ns = parsed
+                    rows.append(
+                        (int(i), "wav", ch, rate, bits, ns, ns * 1000 // rate)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "format", "channels", "sample_rate", "bits",
+                    "n_samples", "duration_ms",
+                ],
+            )
+
+    return df.mapInPandas(kernel, _AUDIO_SCHEMA)
+
+
+def extract_video_meta(df: DataFrame) -> DataFrame:
+    """(id, payload binary) → (id, format, timescale, duration_units,
+    duration_ms) by REAL ISO-BMFF box-walk parsing of moov/mvhd
+    (ops.media_headers.parse_mp4_header — stdlib only)."""
+    from lucene_spark.ops.media_headers import parse_mp4_header
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, blob in zip(pdf["id"], pdf["payload"]):
+                parsed = parse_mp4_header(bytes(blob)) if blob is not None else None
+                if parsed is None:
+                    rows.append((int(i), None, None, None, None))
+                else:
+                    ts, dur = parsed
+                    rows.append((int(i), "mp4", ts, dur, dur * 1000 // ts))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "format", "timescale", "duration_units", "duration_ms",
+                ],
+            )
+
+    return df.mapInPandas(kernel, _VIDEO_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """(id, payload binary, meta struct) → (id, meta.*, feature).
 

@@ -462,3 +462,125 @@ class TestMultilingualLangId:
         )
         out = {r["id"]: r["lang"] for r in lang_id_multi(df, "id", "text").collect()}
         assert out == {0: "und", 1: "und"}
+
+
+class TestMediaHeadersAV:
+    """Round-4: stdlib RIFF/WAV and ISO-BMFF/MP4 header parsing —
+    multimodal metadata for all three modalities is real byte parsing,
+    not a stub."""
+
+    def test_wav_roundtrip_fixtures(self):
+        from lucene_spark.ops.media_headers import (
+            fixture_audio, parse_wav_header, synth_wav)
+
+        for i in range(300):
+            rate, ch, ns = fixture_audio(i)
+            assert parse_wav_header(synth_wav(i)) == (ch, rate, 16, ns)
+
+    def test_wav_matches_stdlib_wave_module(self):
+        import io
+        import wave
+
+        from lucene_spark.ops.media_headers import parse_wav_header
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(b"\x00\x00" * 2 * 777)
+        w.close()
+        assert parse_wav_header(buf.getvalue()) == (2, 22050, 16, 777)
+
+    def test_wav_extra_chunk_and_odd_padding(self):
+        import struct
+
+        from lucene_spark.ops.media_headers import parse_wav_header
+
+        # LIST chunk with odd length (padded) BEFORE fmt/data
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        data = b"\x00" * (10 * 2)
+        body = (
+            b"WAVE"
+            + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert parse_wav_header(blob) == (1, 8000, 16, 10)
+
+    def test_wav_negatives(self):
+        import struct
+
+        from lucene_spark.ops.media_headers import parse_wav_header, synth_mp4
+
+        assert parse_wav_header(b"") is None
+        assert parse_wav_header(b"RIFFxxxxWAVE") is None
+        assert parse_wav_header(synth_mp4(1)) is None
+        # data chunk before fmt → malformed
+        blob = (
+            b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+            + b"data" + struct.pack("<I", 4) + b"abcd"
+        )
+        assert parse_wav_header(blob) is None
+
+    def test_mp4_roundtrip_fixtures(self):
+        from lucene_spark.ops.media_headers import (
+            fixture_video, parse_mp4_header, synth_mp4)
+
+        for i in range(300):
+            assert parse_mp4_header(synth_mp4(i)) == fixture_video(i)
+
+    def test_mp4_version1_mvhd(self):
+        import struct
+
+        from lucene_spark.ops.media_headers import parse_mp4_header
+
+        def box(tag, payload):
+            return struct.pack(">I", len(payload) + 8) + tag + payload
+
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B", 1) + b"\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)          # ctime, mtime (u64)
+            + struct.pack(">I", 90000)          # timescale
+            + struct.pack(">Q", 123456789),     # duration (u64)
+        )
+        blob = box(b"ftyp", b"isom") + box(b"moov", mvhd)
+        assert parse_mp4_header(blob) == (90000, 123456789)
+
+    def test_mp4_negatives(self):
+        from lucene_spark.ops.media_headers import parse_mp4_header, synth_wav
+
+        assert parse_mp4_header(b"") is None
+        assert parse_mp4_header(synth_wav(1)) is None
+        assert parse_mp4_header(b"\x00\x00\x00\x08ftyp") is None
+
+    def test_spark_extract_audio_video(self, spark):
+        from lucene_spark.ops.multimodal import (
+            attach_synthetic_audio,
+            attach_synthetic_video,
+            extract_audio_meta,
+            extract_video_meta,
+        )
+        from lucene_spark.ops.media_headers import fixture_audio, fixture_video
+
+        ids = spark.range(50)
+        audio = {
+            r["id"]: (r["channels"], r["sample_rate"], r["bits"],
+                      r["n_samples"], r["duration_ms"])
+            for r in extract_audio_meta(
+                attach_synthetic_audio(ids, "id")
+            ).collect()
+        }
+        video = {
+            r["id"]: (r["timescale"], r["duration_units"], r["duration_ms"])
+            for r in extract_video_meta(
+                attach_synthetic_video(ids, "id")
+            ).collect()
+        }
+        for i in range(50):
+            rate, ch, ns = fixture_audio(i)
+            assert audio[i] == (ch, rate, 16, ns, ns * 1000 // rate)
+            ts, dur = fixture_video(i)
+            assert video[i] == (ts, dur, dur * 1000 // ts)
