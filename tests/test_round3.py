@@ -276,10 +276,16 @@ def test_doc_filter_kernel(spark_index):
         ).count()
         == 0
     )
-    with pytest.raises(ValueError):
-        decode_postings(
-            spark_index, [t], need_positions=True, doc_filter=pick
-        )
+    # Round 4 made position decodes filterable too (executor.py doc_filter
+    # + need_positions): same decode-then-filter equivalence with positions.
+    full_pos = decode_postings(spark_index, [t], need_positions=True).collect()
+    got_pos = decode_postings(
+        spark_index, [t], need_positions=True, doc_filter=pick
+    ).collect()
+    want_pos = [r for r in full_pos if r["doc_id"] in set(pick.tolist())]
+    assert sorted(
+        (key(r), r["tf"], list(r["positions"])) for r in got_pos
+    ) == sorted((key(r), r["tf"], list(r["positions"])) for r in want_pos)
 
 
 # ---------------------------------------------------------- ADVICE #2
