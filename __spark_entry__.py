@@ -1980,6 +1980,83 @@ FROM documents
 """
 
 
+def _mm_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize plan over REAL parsed dimensions: the
+    byte-valid PNG/JPEG fixtures are header-parsed (mm_dims pipeline),
+    then ops.multimodal.plan_resize computes the capped-long-side
+    target geometry as pure Catalyst integer math — no payload read.
+    The oracle recomputes both the fixture dims formula and the resize
+    arithmetic, so either a parse or a planning bug hash-mismatches."""
+    from lucene_spark.ops.multimodal import (
+        attach_synthetic_media,
+        extract_image_dims,
+        plan_resize,
+    )
+
+    payloads = attach_synthetic_media(
+        _docs(spark, sf_dir).select(F.col("doc_id").alias("id")), "id"
+    )
+    plan = plan_resize(extract_image_dims(payloads), max_side=100)
+    return plan.select(
+        F.col("id").cast("long").alias("id"),
+        "width", "height", "out_width", "out_height",
+        F.col("scaled").cast("long").alias("scaled"),
+    )
+
+
+_MM_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id::BIGINT AS id,
+         (16 + doc_id % 640)::BIGINT AS width,
+         (16 + (doc_id * 7) % 480)::BIGINT AS height
+  FROM documents
+)
+SELECT id, width, height,
+       CASE WHEN GREATEST(width, height) <= 100 THEN width
+            ELSE GREATEST(1, (width * 100) // GREATEST(width, height))
+       END AS out_width,
+       CASE WHEN GREATEST(width, height) <= 100 THEN height
+            ELSE GREATEST(1, (height * 100) // GREATEST(width, height))
+       END AS out_height,
+       (GREATEST(width, height) > 100)::BIGINT AS scaled
+FROM dims
+"""
+
+
+def _mm_frame_plan(spark, sf_dir):
+    """Uniform frame-sample plan over REAL parsed video durations: the
+    byte-valid MP4 fixtures are box-walked to mvhd (mm_video pipeline),
+    then ops.multimodal.plan_frame_samples explodes n uniform sample
+    timestamps per video — metadata-only Catalyst math; the frame
+    extraction itself is the decode_real seam."""
+    from lucene_spark.ops.multimodal import (
+        attach_synthetic_video,
+        extract_video_meta,
+        plan_frame_samples,
+    )
+
+    payloads = attach_synthetic_video(
+        _docs(spark, sf_dir).select(F.col("doc_id").alias("id")), "id"
+    )
+    plan = plan_frame_samples(extract_video_meta(payloads), n_frames=5)
+    return plan.select(
+        F.col("id").cast("long").alias("id"), "frame_idx", "ts_ms"
+    )
+
+
+_MM_FRAME_SQL = """
+WITH v AS (
+  SELECT doc_id::BIGINT AS id,
+         ((1000 + (doc_id * 17) % 9000) * 1000 //
+          CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                          ELSE 90000 END)::BIGINT AS duration_ms
+  FROM documents
+)
+SELECT v.id, t.i::BIGINT AS frame_idx, (v.duration_ms * t.i) // 5 AS ts_ms
+FROM v, range(0, 5) AS t(i)
+"""
+
+
 # DOM highlighting gate: wrap each document's (entity-escaped) text in
 # a tiny HTML page whose <script> section ALSO contains the query
 # terms, run the reference-parity DOM highlighter with a 3-clause OR
@@ -2191,6 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_dims": _mm_dims,
         "mm_audio": _mm_audio,
         "mm_video": _mm_video,
+        "mm_resize_plan": _mm_resize_plan,
+        "mm_frame_plan": _mm_frame_plan,
         "hl_html": _hl_html,
         "ft_custom_sim": _ft_custom_sim,
         "smp_split": _smp_split,
@@ -2254,6 +2333,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_dims": _MM_DIMS_SQL,
         "mm_audio": _MM_AUDIO_SQL,
         "mm_video": _MM_VIDEO_SQL,
+        "mm_resize_plan": _MM_RESIZE_SQL,
+        "mm_frame_plan": _MM_FRAME_SQL,
         "hl_html": _HL_HTML_SQL,
         "ft_custom_sim": _ft_custom_sim_sql(),
         "smp_split": _SMP_SPLIT_SQL,

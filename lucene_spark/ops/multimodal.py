@@ -290,6 +290,60 @@ def extract_video_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, _VIDEO_SCHEMA)
 
 
+def plan_resize(dims_df: DataFrame, max_side: int = 256) -> DataFrame:
+    """(id, width, height) → (id, width, height, out_width, out_height,
+    scaled): aspect-preserving downscale plan with the long side capped
+    at ``max_side`` (never upscales; floor division, min 1 px).
+
+    Pure Catalyst integer math over the *metadata* table — the resize
+    plan for 10^9 images is computed without touching a single payload
+    byte (column pruning drops the binary column). The actual pixel
+    resample belongs in :func:`decode_real`'s seam; this stage decides
+    the target geometry so the decode stage is a single pass.
+    Integer-exact, so a SQL oracle reproduces it bit-for-bit.
+    """
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1 (got {max_side})")
+    m = int(max_side)
+    big = F.greatest(F.col("width"), F.col("height")).cast("long")
+    fit = big <= F.lit(m)
+    out_w = F.expr(f"greatest(CAST(1 AS BIGINT), (CAST(width AS BIGINT) * {m}) div greatest(CAST(width AS BIGINT), CAST(height AS BIGINT)))")
+    out_h = F.expr(f"greatest(CAST(1 AS BIGINT), (CAST(height AS BIGINT) * {m}) div greatest(CAST(width AS BIGINT), CAST(height AS BIGINT)))")
+    return dims_df.select(
+        "id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.when(fit, F.col("width").cast("long")).otherwise(out_w).alias("out_width"),
+        F.when(fit, F.col("height").cast("long")).otherwise(out_h).alias("out_height"),
+        (~fit).alias("scaled"),
+    )
+
+
+def plan_frame_samples(video_meta_df: DataFrame, n_frames: int = 8) -> DataFrame:
+    """(id, duration_ms) → (id, frame_idx, ts_ms): ``n_frames`` uniform
+    sample timestamps per video, ts_ms[i] = floor(duration_ms·i/n).
+
+    Pure Catalyst (sequence + explode) over the metadata table — the
+    frame-sampling plan is decided columnar-side and only then joined
+    back to payloads, so the (heavy) decode stage receives an explicit
+    work list instead of re-deriving it per blob. Integer-exact for the
+    SQL oracle; the frame *extraction* itself is the
+    :func:`decode_real` seam.
+    """
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1 (got {n_frames})")
+    n = int(n_frames)
+    return video_meta_df.select(
+        "id",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("frame_idx"),
+    ).select(
+        "id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.expr(f"(CAST(duration_ms AS BIGINT) * frame_idx) div {n}").alias("ts_ms"),
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """(id, payload binary, meta struct) → (id, meta.*, feature).
 

@@ -584,3 +584,58 @@ class TestMediaHeadersAV:
             assert audio[i] == (ch, rate, 16, ns, ns * 1000 // rate)
             ts, dur = fixture_video(i)
             assert video[i] == (ts, dur, dur * 1000 // ts)
+
+
+class TestMediaPlanners:
+    """plan_resize / plan_frame_samples: metadata-only Catalyst planning
+    stages for the decode seam (round-4 multimodal additions)."""
+
+    def test_resize_plan_math(self, spark):
+        from lucene_spark.ops.multimodal import plan_resize
+
+        rows = [
+            (0, 100, 50),    # fits at max_side=100: untouched
+            (1, 200, 100),   # 2x downscale
+            (2, 100, 200),   # portrait: long side capped
+            (3, 1000, 3),    # extreme aspect: short side floors at 1
+            (4, 1, 1),       # tiny: never upscaled
+            (5, 101, 101),   # just over: floor division
+        ]
+        df = spark.createDataFrame(rows, "id long, width long, height long")
+        got = {r["id"]: r for r in plan_resize(df, max_side=100).collect()}
+        assert (got[0]["out_width"], got[0]["out_height"], got[0]["scaled"]) == (100, 50, False)
+        assert (got[1]["out_width"], got[1]["out_height"], got[1]["scaled"]) == (100, 50, True)
+        assert (got[2]["out_width"], got[2]["out_height"], got[2]["scaled"]) == (50, 100, True)
+        assert (got[3]["out_width"], got[3]["out_height"]) == (100, 1)
+        assert (got[4]["out_width"], got[4]["out_height"], got[4]["scaled"]) == (1, 1, False)
+        assert (got[5]["out_width"], got[5]["out_height"]) == (100, 100)
+        for r in got.values():  # invariant: never upscale, long side <= cap
+            assert r["out_width"] <= max(r["width"], 100)
+            assert max(r["out_width"], r["out_height"]) <= max(
+                100, max(r["width"], r["height"])
+            )
+        with pytest.raises(ValueError):
+            plan_resize(df, max_side=0)
+
+    def test_frame_plan_math(self, spark):
+        from lucene_spark.ops.multimodal import plan_frame_samples
+
+        df = spark.createDataFrame(
+            [(0, 1000), (1, 7), (2, 0)], "id long, duration_ms long"
+        )
+        out = plan_frame_samples(df, n_frames=4).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["id"], []).append((r["frame_idx"], r["ts_ms"]))
+        for i in by_id:
+            by_id[i].sort()
+        assert by_id[0] == [(0, 0), (1, 250), (2, 500), (3, 750)]
+        assert by_id[1] == [(0, 0), (1, 1), (2, 3), (3, 5)]  # floor(7i/4)
+        assert by_id[2] == [(0, 0), (1, 0), (2, 0), (3, 0)]
+        # invariants: n rows per video, ts strictly below duration, monotone
+        for i, pairs in by_id.items():
+            assert len(pairs) == 4
+            ts = [t for _, t in pairs]
+            assert ts == sorted(ts)
+        with pytest.raises(ValueError):
+            plan_frame_samples(df, n_frames=0)
