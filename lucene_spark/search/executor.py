@@ -495,7 +495,7 @@ class SparkSearcher:
         score_mode: str = "bm25",
         default_field: str | None = None,
         sort_fields: list[tuple[str, str]] | None = None,
-        pruning: str = "off",
+        pruning: str = "auto",
         default_operator: str = "OR",
         result_set_limit: int = 0,
         classic_normalize: bool = True,
@@ -549,7 +549,7 @@ class SparkSearcher:
         q: Query,
         k: int = 10,
         score_mode: str = "bm25",
-        pruning: str = "off",
+        pruning: str = "auto",
         result_set_limit: int = 0,
         classic_normalize: bool = True,
     ) -> DataFrame:
@@ -558,12 +558,16 @@ class SparkSearcher:
         ``pruning`` selects the block-max WAND path for eligible queries
         (BM25, k>0, no tombstones, single-term or pure-OR MultiTerm):
 
-        - ``'off'``   — always the exact full-scan plan (default: on
-          corpora with near-constant tf/dl the bounds don't separate and
-          pruning only adds jobs — see BASELINE.md §5.5);
-        - ``'auto'``  — WAND when the summed df is large enough that
-          skipping blocks can pay (>= AUTO_PRUNING_MIN_DF);
-        - ``'force'`` — WAND whenever eligible (bench/validation).
+        - ``'off'``   — always the exact full-scan plan;
+        - ``'auto'``  (default) — pruned strategies only where measured
+          to win: exact phrases route to the cogroup range kernel past
+          AUTO_PRUNING_MIN_DF; WAND / pruned conjunctions additionally
+          require n_docs >= AUTO_PRUNING_MIN_DOCS, because below that
+          the exact decode is already faster than the extra bound jobs
+          (measured at 868k turns: exact term 0.57 s vs WAND 1.67 s,
+          while at 40M+ WAND/cogroup win 2-25x — BASELINE.md §7.5/§8.1);
+          results are identical either way (the strategies are exact);
+        - ``'force'`` — pruned path whenever eligible (bench/validation).
 
         The value must be one of these strings — a boolean raises, so a
         caller can never pass True and silently get 'off'.
@@ -615,7 +619,10 @@ class SparkSearcher:
                 terms = [t for t, _b in cand]
                 self.index.prefetch_terms(terms)
                 total_df = sum(self.index.doc_freq(t) for t in terms)
-                if pruning == "force" or total_df >= AUTO_PRUNING_MIN_DF:
+                if pruning == "force" or (
+                    total_df >= AUTO_PRUNING_MIN_DF
+                    and self.index.n_docs >= AUTO_PRUNING_MIN_DOCS
+                ):
                     N = self.index.n_docs
                     weights = [
                         b * bm25_idf(self.index.doc_freq(t), N) for t, b in cand
@@ -629,7 +636,10 @@ class SparkSearcher:
                     terms = [t for t, _m, _r in scorable]
                     self.index.prefetch_terms(terms + pro)
                     total_df = sum(self.index.doc_freq(t) for t in terms)
-                    if pruning == "force" or total_df >= AUTO_PRUNING_MIN_DF:
+                    if pruning == "force" or (
+                        total_df >= AUTO_PRUNING_MIN_DF
+                        and self.index.n_docs >= AUTO_PRUNING_MIN_DOCS
+                    ):
                         N = self.index.n_docs
                         # same convention as the exact MultiTerm path:
                         # per-occurrence idf contributions, whole sum
@@ -1182,6 +1192,15 @@ PHRASE_COGROUP_MIN_DOCS = 1_000_000  # 'auto' routes SLOPPY phrases to
 
 AUTO_PRUNING_MIN_DF = 65536  # 'auto' pruning: below this, block skipping
 # can't amortize the extra metadata jobs
+AUTO_PRUNING_MIN_DOCS = 4_000_000  # 'auto' WAND / pruned-conjunction
+# corpus-size gate: at 868k turns every pruned boolean/term strategy
+# measured SLOWER than the exact plan (extra bound-evaluation jobs
+# dominate a sub-second decode: term 1.67 s vs 0.57 s exact, OR 6.9 s
+# vs 0.94 s), while at 40M+ they win 2-25x (BASELINE.md §7.5/§8.1);
+# the geometric midpoint of those calibration points, rounded down to
+# stay conservative. The cogroup PHRASE kernel is NOT behind this gate
+# — it already wins at 200k docs (df-gated only; sloppy phrases keep
+# their own PHRASE_COGROUP_MIN_DOCS range-parallelism gate).
 CAND_BUCKET = 128  # docs per candidate-restriction bucket for the
 # MAXSCORE split: fine enough that a non-essential block survives only
 # if an essential candidate doc is ~block-distance away, coarse enough
