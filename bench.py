@@ -85,6 +85,16 @@ def main() -> None:
         else base
     )
 
+    # Materialize the synthetic input BEFORE the build clock (same
+    # protocol as tools/scaling_bench.py): the builder scans its input
+    # twice (conv-stats pass, then the join+write pass), and on a real
+    # parquet/Iceberg source the first pass is a 2-column pruned scan —
+    # but on this synthesized crossJoin each pass re-runs the generator
+    # (~5 s at sf0.1), which would charge the GENERATOR, not the
+    # engine, to build_sec.
+    tr = tr.persist()
+    tr.count()
+
     idx_dir = tempfile.mkdtemp(prefix="lucene_spark_bench_")
     timings: dict[str, float] = {}
     t_suite = time.time()
