@@ -2178,6 +2178,34 @@ def _tr_turns(spark, sf_dir):
     )
 
 
+def _tr_sessionize(spark, sf_dir):
+    """Gap sessionization (streaming.sessionize batch twin) over the
+    synthesized transcripts with a deterministic jittered timestamp:
+    ts_ms = conv·86400000 + turn_idx·60000 + ((turn_idx·2) mod 3)·50000
+    gives inter-turn deltas of 160 s / 10 s / 10 s repeating, so a 90 s
+    gap threshold splits every conversation into 3-turn sessions —
+    the oracle reproduces the jitter and the lag/run-sum/min windows."""
+    from lucene_spark.streaming.sessionize import sessionize
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    conv = F.substring("conv_id", 5, 8).cast("long")
+    turns = tr.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        (
+            conv * 86_400_000
+            + F.col("turn_idx").cast("long") * 60_000
+            + ((F.col("turn_idx").cast("long") * 2) % 3) * 50_000
+        ).alias("ts_ms"),
+    )
+    out = sessionize(turns, gap_ms=90_000, order_cols=["turn_idx"])
+    return out.select(
+        "conv_id", "turn_idx", "ts_ms",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start_ms",
+    )
+
+
 _TR_TURNS_SQL = f"""
 WITH d AS (
     SELECT doc_id, doc_id // 16 AS conv, {TOKEN_SQL} AS l,
@@ -2201,6 +2229,49 @@ SELECT printf('conv%08d', conv) AS conv_id, turn_idx::BIGINT AS turn_idx,
        text,
        CASE WHEN turn_idx % 5 = 3 THEN 'search' END AS tool
 FROM t
+"""
+
+
+
+_TR_SESSIONIZE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, doc_id // 16 AS conv,
+           greatest(1, CAST(ceil(len({TOKEN_SQL}) / 24.0) AS INT)) AS n_turns
+    FROM documents
+),
+based AS (
+    SELECT *, coalesce(sum(n_turns) OVER (
+        PARTITION BY conv ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_base
+    FROM d
+),
+t AS (
+    SELECT b.conv, b.turn_base + g.i AS turn_idx
+    FROM based b, LATERAL (
+        SELECT unnest(generate_series(0, b.n_turns - 1)) AS i) g
+),
+ts AS (
+    SELECT printf('conv%08d', conv) AS conv_id, turn_idx::BIGINT AS turn_idx,
+           (conv * 86400000 + turn_idx * 60000
+            + ((turn_idx * 2) % 3) * 50000)::BIGINT AS ts_ms
+    FROM t
+),
+flag AS (
+    SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                     OR ts_ms - lag(ts_ms) OVER w > 90000
+                   THEN 1 ELSE 0 END AS nf
+    FROM ts WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms, turn_idx)
+),
+sess AS (
+    SELECT *, sum(nf) OVER (
+        PARTITION BY conv_id ORDER BY ts_ms, turn_idx
+        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    FROM flag
+)
+SELECT conv_id, turn_idx, ts_ms, session_idx::BIGINT AS session_idx,
+       (min(ts_ms) OVER (PARTITION BY conv_id, session_idx))::BIGINT
+           AS session_start_ms
+FROM sess
 """
 
 
@@ -2276,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_stratified": _smp_stratified,
         "smp_pack": _smp_pack,
         "tr_turns": _tr_turns,
+        "tr_sessionize": _tr_sessionize,
     }
 
 
@@ -2341,4 +2413,5 @@ def oracle_sql() -> dict[str, str]:
         "smp_stratified": _SMP_STRAT_SQL,
         "smp_pack": _SMP_PACK_SQL,
         "tr_turns": _TR_TURNS_SQL,
+        "tr_sessionize": _TR_SESSIONIZE_SQL,
     }

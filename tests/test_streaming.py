@@ -81,3 +81,76 @@ def test_readstream_available_now(spark, split_transcripts, tmp_path):
     q.awaitTermination(120)
     ix = load_index(spark, d)
     assert ix.n_docs == base.count() + s1.count() + s2.count()
+
+
+class TestSessionize:
+    """Gap sessionization: batch window plan vs the stateful streaming
+    kernel (applyInPandasWithState) — same numbering on the same turns."""
+
+    def _turns(self, spark):
+        # 3 conversations with engineered gaps (gap_ms=90_000):
+        # a: 0, 60k, 200k(+140k -> new), 260k           => sessions 0,0,1,1
+        # b: 0                                           => session 0
+        # c: 0, 100k(+100k -> new), 190k, 300k(+110k ->) => 0,1,1,2
+        rows = [
+            ("a", 0), ("a", 60_000), ("a", 200_000), ("a", 260_000),
+            ("b", 0),
+            ("c", 0), ("c", 100_000), ("c", 190_000), ("c", 300_000),
+        ]
+        return spark.createDataFrame(rows, "conv_id string, ts_ms long")
+
+    EXPECT = {
+        ("a", 0): (0, 0), ("a", 60_000): (0, 0),
+        ("a", 200_000): (1, 200_000), ("a", 260_000): (1, 200_000),
+        ("b", 0): (0, 0),
+        ("c", 0): (0, 0), ("c", 100_000): (1, 100_000),
+        ("c", 190_000): (1, 100_000), ("c", 300_000): (2, 300_000),
+    }
+
+    def test_batch_sessionize(self, spark):
+        from lucene_spark.streaming.sessionize import sessionize
+
+        got = {
+            (r["conv_id"], r["ts_ms"]): (r["session_idx"], r["session_start_ms"])
+            for r in sessionize(self._turns(spark), gap_ms=90_000).collect()
+        }
+        assert got == self.EXPECT
+        with pytest.raises(ValueError):
+            sessionize(self._turns(spark), gap_ms=-1)
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Feed the same turns as TWO in-order micro-batches
+        (maxFilesPerTrigger=1); the state-store numbering must equal
+        the batch result — including sessions continuing across the
+        batch boundary (conv a's session 1 spans both files)."""
+        from lucene_spark.streaming.sessionize import sessionize_stream
+
+        df = self._turns(spark)
+        early = df.where(F.col("ts_ms") <= 100_000)
+        late = df.where(F.col("ts_ms") > 100_000)
+        sdir = str(tmp_path / "sess_in")
+        early.coalesce(1).write.mode("overwrite").parquet(os.path.join(sdir, "f1"))
+        late.coalesce(1).write.mode("overwrite").parquet(os.path.join(sdir, "f2"))
+
+        stream = (
+            spark.readStream.schema("conv_id string, ts_ms long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir + "/*")
+        )
+        out = sessionize_stream(stream, gap_ms=90_000)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["conv_id"], r["ts_ms"]): (r["session_idx"], r["session_start_ms"])
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        }
+        assert got == self.EXPECT
