@@ -1344,6 +1344,52 @@ WHERE m.cm / (sa.sz + sb.sz - m.cm) >= 0.5
 """
 
 
+def _dd_contamination(spark, sf_dir):
+    """Benchmark decontamination (ops.dedup.contamination_flags):
+    corpus = documents, eval set = every 37th doc (a deterministic
+    stand-in for an external benchmark), 3-gram shingles, flagged at
+    >= 3 distinct shared shingles. The bench inventory broadcasts;
+    the corpus side streams through a broadcast hash join."""
+    from lucene_spark.ops.dedup import contamination_flags
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    out = contamination_flags(
+        d, bench, "doc_id", "text", "bid", "btext",
+        shingle_n=3, min_shared=3,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+_DD_CONTAM_SQL = f"""
+WITH d AS (SELECT doc_id, {TOKEN_SQL} AS l FROM documents),
+c AS (
+    SELECT DISTINCT doc_id AS id,
+           concat_ws(' ', l[i], l[i+1], l[i+2]) AS shingle
+    FROM d, LATERAL (SELECT unnest(generate_series(1, len(d.l) - 2)) AS i) g
+),
+b AS (
+    SELECT DISTINCT doc_id AS bench_id,
+           concat_ws(' ', l[i], l[i+1], l[i+2]) AS shingle
+    FROM d, LATERAL (SELECT unnest(generate_series(1, len(d.l) - 2)) AS i) g
+    WHERE doc_id % 37 = 0
+),
+m AS (SELECT c.id, c.shingle, b.bench_id FROM c JOIN b USING (shingle))
+SELECT id::BIGINT AS id,
+       count(DISTINCT shingle)::BIGINT AS n_shared,
+       count(DISTINCT bench_id)::BIGINT AS n_bench_docs,
+       (count(DISTINCT shingle) >= 3)::BIGINT AS contaminated
+FROM m GROUP BY id
+"""
+
+
 def _dd_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), "doc_id", "text").select(
         F.col("id").cast("long").alias("id"), F.col("simhash").cast("long").alias("simhash")
@@ -2325,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": _dd_clusters,
         "dd_ngram_jaccard": _dd_ngram_jaccard,
         "dd_simhash": _dd_simhash,
+        "dd_contamination": _dd_contamination,
         "ann_topk": _ann_topk,
         "ann_ivf": _ann_ivf,
         "ann_ivf_trained": _ann_ivf_trained,
@@ -2391,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_clusters": _DD_CLUSTERS_SQL,
         "dd_ngram_jaccard": _DD_NGRAM_SQL,
         "dd_simhash": _DD_SIMHASH_SQL,
+        "dd_contamination": _DD_CONTAM_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "ann_ivf_trained": _ANN_TOPK_SQL,

@@ -265,6 +265,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_flags(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing n-gram
+    content with an evaluation set.
+
+    Returns ``(id, n_shared, n_bench_docs, contaminated)`` — one row
+    per corpus doc that shares >= 1 distinct ``shingle_n``-gram with
+    any benchmark doc: ``n_shared`` = distinct shared shingles (over
+    all bench docs), ``n_bench_docs`` = distinct bench docs touched,
+    ``contaminated`` = n_shared >= ``min_shared``. Docs sharing
+    nothing are absent (a left-join + coalesce(0) reinstates them if
+    a total table is needed — cheaper left as the caller's choice).
+
+    This is the ASYMMETRIC sibling of :func:`ngram_jaccard_pairs`
+    (dedup wants corpus×corpus pairs; decontamination wants corpus
+    vs a reference set). The scale shape exploits the asymmetry: an
+    eval set is tiny next to a 100 TB corpus, so its distinct-shingle
+    inventory broadcasts (``broadcast_bench``, default) and the
+    corpus side streams through a broadcast hash join — the big side
+    is never shuffled. Set ``broadcast_bench=False`` for an
+    unusually large reference set (falls back to a shuffle join on
+    the shingle key).
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
+    corpus_sh = _shingle_df(df, id_col, text_col, shingle_n)
+    bench_sh = _shingle_df(
+        bench_df, bench_id_col, bench_text_col, shingle_n
+    ).withColumnRenamed("id", "bench_id")
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .select(
+            "id",
+            "n_shared",
+            "n_bench_docs",
+            (F.col("n_shared") >= int(min_shared)).alias("contaminated"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, n_bits: int = 16
 ) -> DataFrame:

@@ -639,3 +639,40 @@ class TestMediaPlanners:
             assert ts == sorted(ts)
         with pytest.raises(ValueError):
             plan_frame_samples(df, n_frames=0)
+
+
+class TestContamination:
+    def test_flags_and_broadcast_plan(self, spark):
+        from lucene_spark.ops.dedup import contamination_flags
+
+        corpus = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon"),   # contains bench 10
+                (1, "zeta eta theta iota"),              # disjoint
+                (2, "alpha beta gamma zeta"),            # 2 shared 3-grams? no: 1
+                (3, "alpha beta gamma delta zeta"),      # shares 2 shingles
+            ],
+            "id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(10, "alpha beta gamma delta epsilon")], "bid long, btext string"
+        )
+        out = contamination_flags(
+            corpus, bench, "id", "text", "bid", "btext",
+            shingle_n=3, min_shared=2,
+        )
+        got = {r["id"]: (r["n_shared"], r["n_bench_docs"], r["contaminated"])
+               for r in out.collect()}
+        # doc 0 = identical: 3 shingles shared; doc 2 shares only
+        # 'alpha beta gamma'; doc 3 shares that + 'beta gamma delta'
+        assert got[0] == (3, 1, True)
+        assert got[2] == (1, 1, False)
+        assert got[3] == (2, 1, True)
+        assert 1 not in got  # disjoint docs are absent, not false rows
+        # the bench side must broadcast: the corpus is never shuffled
+        # for the join itself
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        with pytest.raises(ValueError):
+            contamination_flags(corpus, bench, "id", "text", "bid", "btext",
+                                min_shared=0)
