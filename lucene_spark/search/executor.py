@@ -627,7 +627,26 @@ class SparkSearcher:
                     weights = [
                         b * bm25_idf(self.index.doc_freq(t), N) for t, b in cand
                     ]
-                    out, _stats = topk_wand(self.index, terms, weights, k=k)
+                    if (
+                        pruning != "force"
+                        and len(terms) > 1
+                        and "sub_max_docs" in self.index.postings.columns
+                    ):
+                        # multi-term pure OR in 'auto': the co-grouped
+                        # range kernel (n_req=0) — on the uniform-impact
+                        # transcripts corpus bucket-WAND bounds cannot
+                        # prune an OR (§7.1) and it measured SLOWER than
+                        # exact (10.1 s vs 8.8 s at 13.6M turns) while
+                        # the cogroup plan took 2.2 s. Single-term stays
+                        # on WAND (bounds separate there: 0.36% of
+                        # blocks decoded, scale-invariant). 'force'
+                        # keeps the bucket path for WAND validation.
+                        out, _stats = topk_and_cogrouped(
+                            self.index, terms, weights,
+                            [False] * len(terms), [], k=k,
+                        )
+                    else:
+                        out, _stats = topk_wand(self.index, terms, weights, k=k)
                     return out
             else:
                 conj = _wand_and_query(q)
