@@ -2229,7 +2229,8 @@ def _tr_sessionize(spark, sf_dir):
     synthesized transcripts with a deterministic jittered timestamp:
     ts_ms = conv·86400000 + turn_idx·60000 + ((turn_idx·2) mod 3)·50000
     gives inter-turn deltas of 160 s / 10 s / 10 s repeating, so a 90 s
-    gap threshold splits every conversation into 3-turn sessions —
+    gap threshold yields sessions {0}, {1,2,3}, {4,5,6}, … — a 1-turn
+    head session, then 3-turn groups (the delta INTO turn 1 is 160 s) —
     the oracle reproduces the jitter and the lag/run-sum/min windows."""
     from lucene_spark.streaming.sessionize import sessionize
 

@@ -108,6 +108,9 @@ def main() -> None:
         )
         ix = build_index(spark, tr, idx_dir, cfg, order_cols=["conv_id", "turn_idx"])
         build_sec = time.time() - t0
+        # queries run against the on-disk index — don't let the cached
+        # input compete with query execution memory
+        tr.unpersist()
         n_turns = ix.n_docs
         timings["build"] = round(build_sec, 3)
 

@@ -307,14 +307,23 @@ def plan_resize(dims_df: DataFrame, max_side: int = 256) -> DataFrame:
     m = int(max_side)
     big = F.greatest(F.col("width"), F.col("height")).cast("long")
     fit = big <= F.lit(m)
-    out_w = F.expr(f"greatest(CAST(1 AS BIGINT), (CAST(width AS BIGINT) * {m}) div greatest(CAST(width AS BIGINT), CAST(height AS BIGINT)))")
-    out_h = F.expr(f"greatest(CAST(1 AS BIGINT), (CAST(height AS BIGINT) * {m}) div greatest(CAST(width AS BIGINT), CAST(height AS BIGINT)))")
+
+    def scale(side: str):
+        # integer floor division (Spark `div` ≡ the oracle's `//`)
+        scaled = F.expr(
+            f"CAST({side} AS BIGINT) * {m} div "
+            f"greatest(CAST(width AS BIGINT), CAST(height AS BIGINT))"
+        )
+        return F.when(fit, F.col(side).cast("long")).otherwise(
+            F.greatest(F.lit(1).cast("long"), scaled)
+        )
+
     return dims_df.select(
         "id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
-        F.when(fit, F.col("width").cast("long")).otherwise(out_w).alias("out_width"),
-        F.when(fit, F.col("height").cast("long")).otherwise(out_h).alias("out_height"),
+        scale("width").alias("out_width"),
+        scale("height").alias("out_height"),
         (~fit).alias("scaled"),
     )
 

@@ -621,7 +621,8 @@ class SparkSearcher:
                 total_df = sum(self.index.doc_freq(t) for t in terms)
                 if pruning == "force" or (
                     total_df >= AUTO_PRUNING_MIN_DF
-                    and self.index.n_docs >= AUTO_PRUNING_MIN_DOCS
+                    and getattr(self.index, "routing_n_docs", self.index.n_docs)
+                    >= AUTO_PRUNING_MIN_DOCS
                 ):
                     N = self.index.n_docs
                     weights = [
@@ -657,7 +658,8 @@ class SparkSearcher:
                     total_df = sum(self.index.doc_freq(t) for t in terms)
                     if pruning == "force" or (
                         total_df >= AUTO_PRUNING_MIN_DF
-                        and self.index.n_docs >= AUTO_PRUNING_MIN_DOCS
+                        and getattr(self.index, "routing_n_docs", self.index.n_docs)
+                        >= AUTO_PRUNING_MIN_DOCS
                     ):
                         N = self.index.n_docs
                         # same convention as the exact MultiTerm path:

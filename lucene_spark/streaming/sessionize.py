@@ -81,14 +81,20 @@ def sessionize(
     )
 
 
-def _sessionize_kernel(gap_ms: int, conv_col: str, ts_col: str):
+def _sessionize_kernel(gap_ms: int, conv_col: str, ts_col: str, timeout_ms: int):
     gap = int(gap_ms)
 
     def fn(key, pdf_iter, state):
+        if timeout_ms and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             last_ts, sess_idx, sess_start = state.get
         else:
-            last_ts, sess_idx, sess_start = -1, -1, -1
+            # sess_idx == -1 is the no-state sentinel (it is always
+            # >= 0 after the first turn); last_ts itself may be any
+            # int64 — negative timestamps are legal
+            last_ts, sess_idx, sess_start = 0, -1, 0
         parts = [p for p in pdf_iter if len(p)]
         if not parts:
             return
@@ -97,13 +103,15 @@ def _sessionize_kernel(gap_ms: int, conv_col: str, ts_col: str):
         idxs = []
         starts = []
         for t in ts:
-            if last_ts < 0 or t - last_ts > gap:
+            if sess_idx < 0 or t - last_ts > gap:
                 sess_idx += 1
                 sess_start = int(t)
             last_ts = int(t)
             idxs.append(sess_idx)
             starts.append(sess_start)
         state.update((last_ts, sess_idx, sess_start))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 conv_col: [key[0]] * len(ts),
@@ -121,6 +129,7 @@ def sessionize_stream(
     conv_col: str = "conv_id",
     ts_col: str = "ts_ms",
     gap_ms: int = 90_000,
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming gap sessionization over an unbounded turn stream.
 
@@ -135,9 +144,25 @@ def sessionize_stream(
     tiny); at cluster scale parallelism is the number of conversations
     per micro-batch, the same key distribution the batch variant
     shuffles on.
+
+    ``state_timeout_ms``: evict a conversation's state after that much
+    processing-time inactivity (ProcessingTimeTimeout). Without it the
+    state store keeps one row per conversation EVER seen — fine for a
+    bounded key space, unbounded growth on an open-ended stream. A
+    conversation that resumes after eviction restarts numbering at
+    session 0, so pick a timeout well above the longest expected
+    real-world pause (the standard state-TTL tradeoff). Caveat: with a
+    timeout configured Spark keeps a state-cleanup trigger pending, so
+    ``query.processAllAvailable()`` does not return — long-running
+    queries (the intended use) are unaffected; tests should poll the
+    sink.
     """
     if gap_ms < 0:
         raise ValueError(f"gap_ms must be >= 0 (got {gap_ms})")
+    if state_timeout_ms is not None and state_timeout_ms <= 0:
+        raise ValueError(
+            f"state_timeout_ms must be > 0 when set (got {state_timeout_ms})"
+        )
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     conv_field = next(
@@ -152,14 +177,19 @@ def sessionize_stream(
             StructField("session_start_ms", LongType()),
         ]
     )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         sdf.select(conv_col, ts_col)
         .groupBy(conv_col)
         .applyInPandasWithState(
-            _sessionize_kernel(gap_ms, conv_col, ts_col),
+            _sessionize_kernel(gap_ms, conv_col, ts_col, int(state_timeout_ms or 0)),
             out_schema,
             _STATE_SCHEMA,
             "update",
-            GroupStateTimeout.NoTimeout,
+            timeout_conf,
         )
     )

@@ -264,8 +264,9 @@ def test_doc_filter_kernel(spark_index):
     full = decode_postings(spark_index, [t]).collect()
     docs = sorted({r["doc_id"] for r in full})
     pick = np.asarray(docs[::3], dtype=np.int64)
+    picked = set(pick.tolist())
     got = decode_postings(spark_index, [t], doc_filter=pick).collect()
-    want = [r for r in full if r["doc_id"] in set(pick.tolist())]
+    want = [r for r in full if r["doc_id"] in picked]
     key = lambda r: (r["qid"], r["doc_id"])  # noqa: E731
     assert sorted((key(r), r["tf"], r["dl"]) for r in got) == sorted(
         (key(r), r["tf"], r["dl"]) for r in want
@@ -282,7 +283,7 @@ def test_doc_filter_kernel(spark_index):
     got_pos = decode_postings(
         spark_index, [t], need_positions=True, doc_filter=pick
     ).collect()
-    want_pos = [r for r in full_pos if r["doc_id"] in set(pick.tolist())]
+    want_pos = [r for r in full_pos if r["doc_id"] in picked]
     assert sorted(
         (key(r), r["tf"], list(r["positions"])) for r in got_pos
     ) == sorted((key(r), r["tf"], list(r["positions"])) for r in want_pos)
