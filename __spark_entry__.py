@@ -1550,6 +1550,47 @@ def _ann_pairs(spark, sf_dir):
     )
 
 
+def _ann_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (ops.similarity.
+    quantize_embeddings), exploded to scalar rows for the hash compare.
+    Both sides run the identical IEEE double arithmetic
+    (amax/127, floor(v/scale + 0.5), clamp), so codes match exactly."""
+    from lucene_spark.ops.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = quantize_embeddings(emb)
+    return qz.select(
+        F.col("id").cast("long").alias("id"),
+        F.round("scale", 9).alias("scale"),
+        F.posexplode("q").alias("i", "qv"),
+    ).select(
+        "id", "scale",
+        F.col("i").cast("long").alias("i"),
+        F.col("qv").cast("long").alias("qv"),
+    )
+
+
+_ANN_QUANTIZE_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, e,
+           list_max(list_transform(e, x -> abs(x))) AS amax
+    FROM v
+)
+SELECT vec_id::BIGINT AS id,
+       round(amax / 127.0, 9) AS scale,
+       g.i::BIGINT AS i,
+       (CASE WHEN amax = 0 THEN 0
+             ELSE greatest(-127, least(127,
+                  CAST(floor(e[g.i + 1] / (amax / 127.0) + 0.5) AS BIGINT)))
+        END)::BIGINT AS qv
+FROM m, LATERAL (SELECT unnest(generate_series(0, len(e) - 1)) AS i) g
+"""
+
+
 def _ann_pairs_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup pairs — the bucketed scale path
     replacing the cross join; exact cosine verification on candidates."""
@@ -2378,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _ann_ivf_trained,
         "ann_pairs": _ann_pairs,
         "ann_pairs_lsh": _ann_pairs_lsh,
+        "ann_quantize": _ann_quantize,
         "tx_lang_id": _tx_lang,
         "tx_lang_id_multi": _tx_lang_multi,
         "tx_quality": _tx_quality,
@@ -2445,6 +2487,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _ANN_TOPK_SQL,
         "ann_pairs": _ANN_PAIRS_SQL,
         "ann_pairs_lsh": _ANN_LSH_SQL,
+        "ann_quantize": _ANN_QUANTIZE_SQL,
         "tx_lang_id": _TX_LANG_SQL,
         "tx_lang_id_multi": _tx_lang_multi_sql(),
         "tx_quality": _TX_QUALITY_SQL,

@@ -382,3 +382,44 @@ def cosine_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``(id, scale, q)`` with
+    ``scale = max|v| / 127`` and ``q_i = floor(v_i/scale + 0.5)``
+    (⇒ |q_i| <= 127 by construction; a zero vector gets scale 0 and
+    all-zero codes). Dequantize as ``q_i * scale`` with per-component
+    error <= scale/2.
+
+    Pure Catalyst array expressions — no UDF. At 100 TB the embedding
+    column dominates ANN storage and shuffle: int8 codes plus one
+    float64 scale per vector cut that IO ~4x, and the IVF/LSH candidate
+    stages in this module work unchanged on dequantized values. The
+    arithmetic is float-deterministic (same IEEE ops both engines), so
+    the SQL oracle reproduces the codes exactly.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("_v"),
+        F.array_max(F.transform(v, F.abs)).alias("_amax"),
+    )
+    scale = F.col("_amax") / F.lit(127.0)
+    q = F.when(
+        F.col("_amax") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x / scale + F.lit(0.5)).cast("long"),
+                ),
+            ),
+        )
+    )
+    return out.select("id", scale.alias("scale"), q.alias("q"))

@@ -700,3 +700,33 @@ class TestRoutingNDocsGate:
         view = _GlobalStatsView(ix, ms)
         assert view.n_docs == 10_000_000          # scoring stats: global
         assert view.routing_n_docs == ix.n_docs   # routing: local shard
+
+
+class TestQuantizeEmbeddings:
+    def test_dequant_error_and_edges(self, spark):
+        import math
+
+        from lucene_spark.ops.similarity import quantize_embeddings
+
+        rows = [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+            (2, [-3.0, 3.0, 1.5, -1.5]),
+            (3, [1e-8, -1e-8, 5e-9, 0.0]),      # tiny magnitudes
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["id"]: r for r in quantize_embeddings(df).collect()}
+        for vid, vec in rows:
+            r = got[vid]
+            amax = max(abs(x) for x in vec)
+            assert math.isclose(r["scale"], amax / 127.0, rel_tol=1e-12)
+            assert all(-127 <= q <= 127 for q in r["q"])
+            if amax == 0:
+                assert list(r["q"]) == [0, 0, 0, 0]
+                continue
+            for x, q in zip(vec, r["q"]):
+                # per-component dequantization error bound: scale/2
+                assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-15
+            # max-magnitude component maps to ±127 exactly
+            imax = max(range(len(vec)), key=lambda i: abs(vec[i]))
+            assert abs(r["q"][imax]) == 127
