@@ -43,7 +43,12 @@ def _field_slice(td: DataFrame, field: str, prefix: str) -> DataFrame:
         cond = (
             cond
             & (F.col("term") >= prefix)
-            & (F.col("term") <= prefix + "\uffff")
+            # deliberately NO `<= prefix + '\\uffff'` upper bound: a
+            # term whose first post-prefix char is U+FFFF or an astral
+            # codepoint can sort ABOVE that sentinel (UTF-16 vs byte
+            # ordering differ), wrongly excluding a startswith match;
+            # parquet pushes StringStartsWith down for row-group
+            # pruning on its own
             & F.col("term").startswith(prefix)
         )
     return td.where(cond)

@@ -299,7 +299,20 @@ def contamination_flags(
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
-    corpus_sh = _shingle_df(df, id_col, text_col, shingle_n)
+    # corpus side: exploded WITHOUT the _shingle_df .distinct() — that
+    # distinct is a full-corpus-width shuffle, and the countDistinct
+    # aggregations below are duplicate-insensitive, so the big side
+    # really never shuffles before the broadcast join (per-doc
+    # array_distinct dedups within a row for free, cutting join
+    # multiplicity without any exchange)
+    corpus_sh = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("toks"), shingle_n))
+        ).alias("shingle"),
+    )
     bench_sh = _shingle_df(
         bench_df, bench_id_col, bench_text_col, shingle_n
     ).withColumnRenamed("id", "bench_id")

@@ -436,7 +436,7 @@ RANGE_PRUNE_QUANTUM = 64  # docs per conjunction-pruning bucket
 # fewer buckets and prune correspondingly more
 
 
-def _conjunction_restricted_postings(ix, all_terms, rare):
+def _conjunction_restricted_postings(ix, all_terms, rare, rare_buckets=None):
     """Posting blocks of ``all_terms`` restricted to doc ranges where
     the rarest REQUIRED term ``rare`` has documents — the distributed
     analogue of driving a posting-list intersection by its shortest
@@ -446,18 +446,25 @@ def _conjunction_restricted_postings(ix, all_terms, rare):
     any hit. The rare term's doc ids decode first (docs_bin only — df
     postings, tiny by the engagement gate), quantize to buckets, and a
     metadata-only semi-join keeps overlapping blocks. Everything stays
-    distributed; nothing is collected."""
+    distributed; nothing is collected — unless the caller ALREADY has
+    the rare doc ids (the scoped-phrase doc_filter shape), in which
+    case it passes the quantized ``rare_buckets`` int64 array and the
+    rare term's postings are not decoded a second time."""
     import types
 
     q = RANGE_PRUNE_QUANTUM
-    rare_docs = decode_postings(ix, [rare], docs_only=True)
-    rb = rare_docs.select(
-        (F.col("doc_id") / q).cast("long").alias("_bkt")
-    ).distinct()
-    cond = reduce(
-        lambda a, c: a | c,
-        [(F.col("field") == t.field) & (F.col("term") == t.text) for t in all_terms],
-    )
+    if rare_buckets is not None:
+        rb = ix.postings.sparkSession.createDataFrame(
+            pd.DataFrame({"_bkt": np.asarray(rare_buckets, np.int64)})
+        )
+    else:
+        rare_docs = decode_postings(ix, [rare], docs_only=True)
+        rb = rare_docs.select(
+            (F.col("doc_id") / q).cast("long").alias("_bkt")
+        ).distinct()
+    # per-field In filters (never a per-term OR chain — JVM stack
+    # overflow past ~300 terms when an expansion sits in the tree)
+    cond = _terms_cond(all_terms)
     meta_cols = ["field", "term", "seg_id", "block_id", "doc_base"]
     keys = (
         ix.postings.where(cond)
@@ -609,7 +616,13 @@ class SparkSearcher:
                 # still routes unconditionally for tests/benches
                 auto_ok = total_df >= AUTO_PRUNING_MIN_DF and (
                     q.slop == 0
-                    or self.index.n_docs >= PHRASE_COGROUP_MIN_DOCS
+                    # per-SHARD size under MultiSearcher (routing_n_docs)
+                    # — the cogroup's range-parallelism bound is a local
+                    # property, same as the WAND MIN_DOCS gate below
+                    or getattr(
+                        self.index, "routing_n_docs", self.index.n_docs
+                    )
+                    >= PHRASE_COGROUP_MIN_DOCS
                 )
                 if pruning == "force" or auto_ok:
                     out, _stats = topk_phrase_cogrouped(self.index, q, k=k)
@@ -917,16 +930,17 @@ class SparkSearcher:
                 if req_term_children:
                     rare = min(req_term_children, key=lambda t: ix.doc_freq(t))
                     if ix.doc_freq(rare) * RANGE_PRUNE_QUANTUM * 4 <= N:
-                        src = _conjunction_restricted_postings(
-                            ix, _collect_terms(q), rare
-                        )
                         # row-level cut for phrase children: the
                         # '+conv_id:X +text:"exact phrase"' shape — the
                         # rare term's doc ids (df-bounded collect, same
                         # bound as the intersect path) filter the
                         # phrase's position decode inside the kernel,
                         # so its Arrow transfer shrinks from df(term)
-                        # rows to |candidates ∩ postings|
+                        # rows to |candidates ∩ postings|. Collected
+                        # FIRST so the bucket restriction below derives
+                        # from the same single decode instead of
+                        # re-decoding the rare term's postings.
+                        rare_buckets = None
                         if doc_filter is None and ix.doc_freq(
                             rare
                         ) <= RAREST_FETCH_MAX_DF and any(
@@ -938,6 +952,13 @@ class SparkSearcher:
                                 .toPandas()["doc_id"]
                                 .to_numpy(np.int64)
                             )
+                            rare_buckets = np.unique(
+                                doc_filter // RANGE_PRUNE_QUANTUM
+                            )
+                        src = _conjunction_restricted_postings(
+                            ix, _collect_terms(q), rare,
+                            rare_buckets=rare_buckets,
+                        )
             # Batch TermQuery children into ONE leaf decode: a fuzzy/
             # wildcard rewrite emits up to 1024 per-term-boosted
             # TermQuery clauses (Fuzzy.php:147-298 boost ordering), and
@@ -1266,25 +1287,51 @@ _WAND_META_COLS = ["field", "term", "seg_id", "block_id", "doc_base"]
 
 
 def _terms_cond(terms: list[Term]) -> Column:
+    """Pushdown-friendly (field, term) membership condition: per-field
+    In filters OR'd across the (few) fields — NEVER a per-term OR
+    chain, which overflows the JVM stack during column conversion past
+    ~300 terms (a wildcard/fuzzy rewrite emits up to 1024; same fix as
+    decode_postings). Semantics identical: a row matches iff its
+    (field, term) equals some query term's."""
+    by_field: dict[str, list[str]] = {}
+    for t in terms:
+        by_field.setdefault(t.field, []).append(t.text)
     return reduce(
-        lambda a, c: a | c,
-        [(F.col("field") == t.field) & (F.col("term") == t.text) for t in terms],
+        lambda a, b: a | b,
+        [
+            (F.col("field") == f) & F.col("term").isin(sorted(set(texts)))
+            for f, texts in by_field.items()
+        ],
     )
 
 
 def _w_avgdl_exprs(
     index: SparkIndex, terms: list[Term], weights: list[float]
 ) -> tuple[Column, Column]:
-    """Per-row (weight, avgdl) literal lookups as WHEN chains keyed on
-    (field, term) — T = #query terms, tiny."""
-    w_expr = F.lit(0.0)
-    avgdl_expr = F.lit(1.0)
+    """Per-row (weight, avgdl) literal lookups keyed on (field, term),
+    as a single map-literal ``element_at`` — NOT a nested WHEN chain,
+    whose expression depth grows with the term count and overflows the
+    JVM stack when a 1024-clause wildcard/fuzzy expansion is forced
+    through the WAND path (same class of fix as _terms_cond)."""
+    sep = "\x00"  # analyzer tokens / field names can't contain NUL
+    w_pairs: list[Column] = []
+    a_pairs: list[Column] = []
+    seen: set[tuple[str, str]] = set()
     for t, w in zip(terms, weights):
-        this = (F.col("field") == t.field) & (F.col("term") == t.text)
-        w_expr = F.when(this, F.lit(float(w))).otherwise(w_expr)
-        avgdl_expr = F.when(
-            this, F.lit(float(index.avg_field_len(t.field)))
-        ).otherwise(avgdl_expr)
+        k = (t.field, t.text)
+        if k in seen:  # create_map raises on duplicate keys
+            continue
+        seen.add(k)
+        key = F.lit(t.field + sep + t.text)
+        w_pairs += [key, F.lit(float(w))]
+        a_pairs += [key, F.lit(float(index.avg_field_len(t.field)))]
+    row_key = F.concat(F.col("field"), F.lit(sep), F.col("term"))
+    w_expr = F.coalesce(
+        F.element_at(F.create_map(*w_pairs), row_key), F.lit(0.0)
+    )
+    avgdl_expr = F.coalesce(
+        F.element_at(F.create_map(*a_pairs), row_key), F.lit(1.0)
+    )
     return w_expr, avgdl_expr
 
 

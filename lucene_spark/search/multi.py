@@ -147,13 +147,26 @@ class MultiSearcher:
 
     def _merged_term_dict(self) -> DataFrame:
         """Distinct (field, term) union of the shards' dictionaries —
-        the distributed-expansion source (one dictionary-sized shuffle,
-        reused by every expansion in the rewrite)."""
-        un = reduce(
-            lambda a, b: a.unionByName(b),
-            [ix.term_dict.select("field", "term") for ix in self.indexes],
-        )
-        return un.distinct()
+        the distributed-expansion source. PERSISTED on first use so a
+        multi-field rewrite's expansions (and each pagination page
+        inside one expansion) re-read the materialized union instead
+        of re-running the dictionary-sized distinct shuffle per call;
+        released by :meth:`unpersist_merged_dict` (or when the
+        sessions' block manager evicts it — it is a dictionary, orders
+        of magnitude smaller than postings)."""
+        if getattr(self, "_merged_td", None) is None:
+            un = reduce(
+                lambda a, b: a.unionByName(b),
+                [ix.term_dict.select("field", "term") for ix in self.indexes],
+            )
+            self._merged_td = un.distinct().persist()
+        return self._merged_td
+
+    def unpersist_merged_dict(self) -> None:
+        """Release the cached cross-shard dictionary union."""
+        if getattr(self, "_merged_td", None) is not None:
+            self._merged_td.unpersist()
+            self._merged_td = None
 
     def match_terms_regex(self, field, prefix, java_regex, limit, is_match=None):
         from lucene_spark.index.expansion import match_terms_regex

@@ -207,13 +207,16 @@ def _sloppy_2slot_closed(A, B, delta: int, slop: int, sf_np=None) -> float:
         if len(ai):
             sv = sf_np(d[ai, bj + 1])
             nz = sv != 0.0
-            total += float(
-                (
-                    wa[ai[nz]]
-                    * np.exp2(ranks[ai[nz], bj[nz]] - 1.0)
-                    * sv[nz]
-                ).sum()
-            )
+            with np.errstate(over="ignore"):  # rank multiplicities
+                # overflow to inf past ~1075 partners, same intentional
+                # clamp-at-return as the anchor weights above
+                total += float(
+                    (
+                        wa[ai[nz]]
+                        * np.exp2(ranks[ai[nz], bj[nz]] - 1.0)
+                        * sv[nz]
+                    ).sum()
+                )
     return min(total, 1.7e308)
 
 
