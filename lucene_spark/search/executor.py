@@ -333,10 +333,7 @@ def _phrase_freq_batch(
             freq[rws] = counts
         return freq
 
-    from lucene_spark.search.phrase import (
-        sloppy_phrase_freq,
-        sloppy_phrase_freq_2slot,
-    )
+    from lucene_spark.search.phrase import sloppy_phrase_freq
 
     bias = slop + max(offsets) + 2  # keys stay positive
     width = 2 * slop + 1
@@ -354,23 +351,34 @@ def _phrase_freq_batch(
     if common is None or not len(common):
         return out
     rs = np.unique(common >> np.int64(32))
-    if two_slot_delta is not None and default_sloppy:
+    if two_slot_delta is not None:
+        # the dominant "a b"~n shape, ANY Similarity: single-position
+        # docs in one expression; multi-position docs through the
+        # BATCHED closed form (one flat (doc, i, j) expansion per
+        # kernel call — round 5 replaced the per-doc Python loop that
+        # dominated sloppy wall time at 149M turns; the closed form's
+        # value parity with the reference queue is fuzz-asserted at
+        # 1e-9 in test_properties, multiplicity structure is
+        # sf-independent so custom Similarities route here too)
+        from lucene_spark.search.phrase import _sloppy_2slot_closed_batch
+
         _ra, fa, la, ba = qid_cache[slot_qid[0]]
         _rb, fb, lb, bb = qid_cache[slot_qid[1]]
         single = rs[(la[rs] == 1) & (lb[rs] == 1)]
         if len(single):
             d = np.abs(fb[bb[single]] - fa[ba[single]] - two_slot_delta)
             out[single] = np.where(d <= slop, sf_np(d), 0.0)
-        for r in rs[(la[rs] != 1) | (lb[rs] != 1)]:
-            out[r] = sloppy_phrase_freq_2slot(
-                fa[ba[r] : ba[r + 1]],
-                fb[bb[r] : bb[r + 1]],
-                two_slot_delta,
-                slop,
+        multi = rs[(la[rs] != 1) | (lb[rs] != 1)]
+        if len(multi):
+            out[multi] = _sloppy_2slot_closed_batch(
+                fa, ba[multi], la[multi],
+                fb, bb[multi], lb[multi],
+                two_slot_delta, slop, sf_np=sf_np,
             )
     else:
-        from lucene_spark.search.phrase import _sloppy_2slot_closed
-
+        # 3+-slot sloppy phrases: the reference's candidate queue has
+        # no known closed form past two slots — per-doc loop with the
+        # loud candidate budget (hot-hot docs raise instead of hanging)
         for r in rs:
             positions = [
                 list(
@@ -382,27 +390,7 @@ def _phrase_freq_batch(
                 )
                 for i in range(n_slots)
             ]
-            if (
-                n_slots == 2
-                and len(positions[0]) + len(positions[1]) > 24
-            ):
-                # custom-Similarity 2-slot shape on a hot-hot doc: the
-                # queue is exponential here too — the closed form takes
-                # the custom sf_np (multiplicity structure is
-                # sf-independent); 3+-slot hot docs raise loudly inside
-                # sloppy_phrase_freq's candidate budget instead of
-                # hanging the executor
-                out[int(r)] = _sloppy_2slot_closed(
-                    np.asarray(positions[0], np.int64),
-                    np.asarray(positions[1], np.int64),
-                    offsets[1] - offsets[0],
-                    slop,
-                    sf_np=sf_np,
-                )
-            else:
-                out[int(r)] = sloppy_phrase_freq(
-                    positions, offsets, slop, sf=sf
-                )
+            out[int(r)] = sloppy_phrase_freq(positions, offsets, slop, sf=sf)
     return out
 
 

@@ -79,6 +79,61 @@ def test_sloppy_2slot_closed_matches_queue(pa, pb, delta, slop):
     assert abs(want - got) < 1e-9 * max(1.0, abs(want))
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(positions, positions), min_size=1, max_size=12
+    ),
+    delta=st.integers(1, 4),
+    slop=st.integers(0, 5),
+    budget=st.sampled_from([7, 2_000_000]),
+)
+def test_sloppy_2slot_closed_batch_matches_queue(docs, delta, slop, budget):
+    """The BATCHED closed form (round 5 — one flat (doc, i, j)
+    expansion replacing the per-doc Python loop in the phrase kernels)
+    must equal the reference queue's value per doc at float tolerance,
+    including with a pair budget small enough to force multi-chunk
+    processing and single-doc-over-budget chunks."""
+    from lucene_spark.search.phrase import _sloppy_2slot_closed_batch
+
+    fa = np.concatenate([np.asarray(a, np.int64) for a, _ in docs])
+    fb = np.concatenate([np.asarray(b, np.int64) for _, b in docs])
+    na = np.array([len(a) for a, _ in docs], np.int64)
+    nb = np.array([len(b) for _, b in docs], np.int64)
+    sa = np.cumsum(na) - na
+    sb = np.cumsum(nb) - nb
+    got = _sloppy_2slot_closed_batch(
+        fa, sa, na, fb, sb, nb, delta, slop, pair_budget=budget
+    )
+    for i, (pa, pb) in enumerate(docs):
+        want = sloppy_phrase_freq([list(pa), list(pb)], [0, delta], slop)
+        assert abs(want - got[i]) < 1e-9 * max(1.0, abs(want))
+
+
+def test_sloppy_2slot_closed_batch_custom_sf():
+    """Custom vectorized sloppyFreq flows through the batch path (the
+    multiplicity structure is sf-independent); zero-weight in-window
+    pairs must be indexed out, not multiplied (inf · 0.0 = NaN)."""
+    from lucene_spark.search.phrase import (
+        _sloppy_2slot_closed,
+        _sloppy_2slot_closed_batch,
+    )
+
+    def sf_np(d):
+        return np.where(d > 1, 0.0, 0.5 / (d + 1.0))
+
+    pa = np.arange(0, 40, dtype=np.int64)  # 40 anchors -> 2^i weights
+    pb = pa + 1
+    got = _sloppy_2slot_closed_batch(
+        pa, np.array([0]), np.array([40]),
+        pb, np.array([0]), np.array([40]),
+        1, 2, sf_np=sf_np,
+    )
+    want = _sloppy_2slot_closed(pa, pb, 1, 2, sf_np=sf_np)
+    assert np.isfinite(got[0]) and got[0] > 0
+    assert abs(got[0] - want) < 1e-9 * max(1.0, abs(want))
+
+
 def test_sloppy_2slot_hot_positions_feasible():
     """tf-40 × tf-40 docs (natural hot-hot text) must compute in O(A·B)
     instead of materializing the 2^A-candidate queue (observed as a
