@@ -121,23 +121,13 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.5,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
-
-    → (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    Candidates = docs sharing any LSH band key; verification joins the
-    exact shingle sets (only for candidates, never all pairs).
-    """
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """(id, band, key) — one row per doc per LSH band, key = md5 of the
+    band's minhash row values. Shared by pair generation and the skew
+    diagnostics so the two always see the same bucketing."""
     k = len(MINHASH_PERMS)
     n_bands = k // LSH_ROWS_PER_BAND
-    sig = minhash_signature(df, id_col, text_col, shingle_n)
-    bands = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -159,13 +149,107 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "key"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+
+
+def lsh_bucket_stats(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Bucket-size skew table for the LSH band join: one row per
+    bucket size with (bucket_size, n_buckets, cand_pairs) where
+    cand_pairs = n_buckets · size·(size−1)/2 — the candidate pairs the
+    clique join would generate at that size. Hot (band, key) groups on
+    duplicate-heavy corpora are this pipeline's hot terms; this is the
+    measurement behind ``max_bucket_size``."""
+    sig = minhash_signature(df, id_col, text_col, shingle_n)
+    return (
+        _lsh_bands(sig)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (
+                F.col("n_buckets")
+                * F.col("bucket_size")
+                * (F.col("bucket_size") - 1)
+                / 2
+            ).cast("long").alias("cand_pairs"),
+        )
+        .orderBy(F.col("bucket_size").desc())
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    → (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Candidates = docs sharing any LSH band key; verification joins the
+    exact shingle sets (only for candidates, never all pairs).
+
+    ``max_bucket_size`` is the skew guard for duplicate-heavy corpora:
+    a (band, key) bucket of B docs contributes B(B−1)/2 clique
+    candidates — a 100k-strong duplicate family (the shape that
+    actually produces huge buckets) would be 5·10^9 pairs through one
+    task. With the cap set, buckets LARGER than the cap contribute a
+    STAR (each member paired with the bucket's minimum id, B−1 pairs)
+    instead of the clique: linear in B, and — unlike a sorted chain,
+    whose diameter would make :func:`connected_components`' min-label
+    pass take B rounds — the star has diameter 2, so the full
+    duplicate CLUSTER is recovered in one propagation round whenever
+    hub pairs verify (true by construction for the duplicate families
+    that cause hot buckets; a hot bucket mixing genuinely dissimilar
+    docs loses only pairs the verify would mostly have rejected
+    anyway). PAIR-level recall inside hot buckets is therefore reduced
+    by design — cluster-level dedup recall is the preserved property.
+    ``None`` (default) keeps exact clique semantics (the gate
+    oracle's shape).
+    """
+    sig = minhash_signature(df, id_col, text_col, shingle_n)
+    bands = _lsh_bands(sig)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wsz = Window.partitionBy("band", "key")
+        b2 = bands.select(
+            "id", "band", "key",
+            F.count("*").over(wsz).alias("_bsz"),
+            F.min("id").over(wsz).alias("_hub"),
+        )
+        small = b2.where(F.col("_bsz") <= int(max_bucket_size)).select(
+            "id", "band", "key"
+        )
+        clique = (
+            small.alias("x")
+            .join(small.alias("y"), ["band", "key"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+        star = (
+            b2.where(
+                (F.col("_bsz") > int(max_bucket_size))
+                & (F.col("id") != F.col("_hub"))
+            )
+            # _hub = min(id) over the bucket, so id_a < id_b holds
+            .select(F.col("_hub").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        cand = clique.unionByName(star).distinct()
+    else:
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "key"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
     sh = _shingle_df(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     common = (

@@ -127,6 +127,28 @@ def main():
         ) == sorted((round(r["score"], 9) for r in ph_cg), reverse=True), (
             "cogroup phrase top-k must equal exact"
         )
+        # round-5: hot-hot SLOPPY phrase through the cogroup kernel —
+        # the batched 2-slot closed form replaced the per-doc Python
+        # loop that made this the slowest default shape at 149M
+        # (23.7 s vs 7.5 s exact phrase). Verdict bar: ≤ 2× the exact
+        # phrase's cogroup time. Exact-plan control (and the score
+        # parity assert) only below ~60M turns — the exact sloppy plan
+        # is row-level and was already 327 s for slop=0 at 149M.
+        sq = parse_query('text:"fast value"~2').rewrite(ix).optimize(ix)
+        t0 = time.time()
+        sl_cg = topk_phrase_cogrouped(ix, sq, k=10)[0].collect()
+        t_sl_cg = time.time() - t0
+        t_sl_exact = None
+        if ix.n_docs < 60_000_000:
+            t0 = time.time()
+            sl_exact = s.execute(sq, k=10, pruning="off").collect()
+            t_sl_exact = round(time.time() - t0, 2)
+            assert sorted(
+                (round(r["score"], 9) for r in sl_exact), reverse=True
+            ) == sorted(
+                (round(r["score"], 9) for r in sl_cg), reverse=True
+            ), "cogroup sloppy top-k must equal exact"
+
         # round-4: conversation-scoped PHRASE — the rare conv_id term's
         # doc ids row-filter the phrase's position decode inside the
         # kernel (doc_filter with need_positions), on top of block-span
@@ -165,6 +187,8 @@ def main():
             "wand_and_path": and_stats.get("path"),
             "q_phrase_exact_sec": round(t_ph_exact, 2),
             "q_phrase_cogroup_sec": round(t_ph_cg, 2),
+            "q_sloppy_exact_sec": t_sl_exact,
+            "q_sloppy_cogroup_sec": round(t_sl_cg, 2),
             "q_conv_scoped_sec": round(t_scoped, 2),
             "q_conv_phrase_sec": round(t_scoped_ph, 2),
             "cpus": cpus,
