@@ -65,6 +65,38 @@ def make_transcripts(n_convs=40, seed=42, max_turns=12):
     return rows
 
 
+def assert_rank_parity(got, want, msg="", score_abs=1e-6, tie_rel=1e-9):
+    """Rank identity vs the pure-Python model, modulo FLOAT-TIE groups:
+    docs whose model scores agree within ``tie_rel`` may permute (the
+    engine breaks exact ties by doc_id; the model's queue-order
+    accumulation can split such a tie by one ulp — e.g. the batched
+    2-slot sloppy closed form computes the same value as the reference
+    queue in a different float accumulation order, the same documented
+    tradeoff as the >24-position escape in phrase.py). Outside tie
+    groups order must match exactly, and every doc's score at
+    ``score_abs``. ``got``/``want`` are rank-ordered (doc_id, score)
+    lists."""
+    assert len(got) == len(want), f"{msg}: {len(got)} != {len(want)}"
+    i = 0
+    while i < len(want):
+        j = i + 1
+        while (
+            j < len(want)
+            and abs(want[j][1] - want[i][1])
+            <= tie_rel * max(1.0, abs(want[i][1]))
+        ):
+            j += 1
+        assert sorted(g[0] for g in got[i:j]) == sorted(
+            w[0] for w in want[i:j]
+        ), f"{msg} ranks {i}:{j}"
+        i = j
+    wd = dict(want)
+    for g_doc, g_score in got:
+        assert g_score == pytest.approx(
+            wd[g_doc], abs=score_abs
+        ), f"{msg} doc {g_doc}"
+
+
 @pytest.fixture(scope="session")
 def transcripts_rows():
     return make_transcripts()

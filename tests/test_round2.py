@@ -377,17 +377,17 @@ def test_conjunction_range_pruning_parity(
     terms; the restriction must be invisible to results either way."""
     import lucene_spark.search.executor as ex
 
+    from tests.conftest import assert_rank_parity
+
     monkeypatch.setattr(ex, "RANGE_PRUNE_QUANTUM", 1)
     got = [
-        (r["doc_id"], round(r["score"], 9))
+        (r["doc_id"], r["score"])
         for r in SparkSearcher(spark_index).search(q, k=0, score_mode=mode).collect()
     ]
     want = [
-        (h.doc_id, round(h.score, 9)) for h in model_index.find(q, score_mode=mode)
+        (h.doc_id, h.score) for h in model_index.find(q, score_mode=mode)
     ]
-    assert [g[0] for g in got] == [w[0] for w in want], q
-    for g, w in zip(got, want):
-        assert g[1] == pytest.approx(w[1], abs=1e-6)
+    assert_rank_parity(got, want, msg=f"{q} ({mode})")
 
 
 # ------------------------------------------- global-stats MultiSearcher

@@ -363,9 +363,9 @@ def test_custom_similarity_model_spark_parity(
             (r["doc_id"], r["score"])
             for r in searcher.search(qs, k=0, score_mode="classic").collect()
         ]
-        assert [g[0] for g in got] == [w[0] for w in want], qs
-        for g, w in zip(got, want):
-            assert g[1] == pytest.approx(w[1], rel=1e-9), (qs, g[0])
+        from tests.conftest import assert_rank_parity
+
+        assert_rank_parity(got, want, msg=qs, score_abs=1e-9)
 
 
 def test_default_similarity_unaffected_after_custom(

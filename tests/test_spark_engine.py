@@ -41,35 +41,13 @@ def _spark_hits(searcher, q, mode, k=0):
 @pytest.mark.parametrize("query", QUERIES)
 @pytest.mark.parametrize("mode", ["bm25", "classic"])
 def test_rank_identity(searcher, model_index, query, mode):
-    """Rank identity vs the pure-Python model, modulo FLOAT-TIE groups:
-    docs whose model scores agree within 1e-9 may permute (the engine
-    breaks exact ties by doc_id; the model's queue-order accumulation
-    can split such a tie by one ulp — e.g. the round-5 batched 2-slot
-    sloppy closed form computes the same value as the reference queue
-    with a different float ACCUMULATION order, the same documented
-    tradeoff as the >24-position escape in phrase.py). Outside tie
-    groups, order must match exactly and scores at 1e-6."""
+    """Rank identity vs the pure-Python model, modulo float-tie groups
+    (see conftest.assert_rank_parity for the documented tradeoff)."""
+    from tests.conftest import assert_rank_parity
+
     got = _spark_hits(searcher, query, mode)
     want = _model_hits(model_index, query, mode)
-    assert len(got) == len(want), f"{query} ({mode})"
-    i = 0
-    while i < len(want):
-        j = i + 1
-        while (
-            j < len(want)
-            and abs(want[j][1] - want[i][1])
-            <= 1e-9 * max(1.0, abs(want[i][1]))
-        ):
-            j += 1
-        assert sorted(g[0] for g in got[i:j]) == sorted(
-            w[0] for w in want[i:j]
-        ), f"{query} ({mode}) ranks {i}:{j}"
-        i = j
-    wd = dict(want)
-    for g_doc, g_score in got:
-        assert g_score == pytest.approx(
-            wd[g_doc], abs=1e-6
-        ), f"{query} doc {g_doc}"
+    assert_rank_parity(got, want, msg=f"{query} ({mode})")
 
 
 @pytest.mark.parametrize("mode", ["bm25", "classic"])
