@@ -1751,6 +1751,57 @@ FROM g
 """
 
 
+def _tx_lang_ngram(spark, sf_dir):
+    """Char-trigram naive-Bayes language ID (round 5 — the measured
+    upgrade over the function-word argmax; lang_id_ngram docstring has
+    the held-out quality table). Same synthesis shape as
+    _tx_lang_multi: doc doc_id gets the first 100 chars of language
+    (doc_id % 10)'s SEED paragraph prepended to the first 60 chars of
+    its English text, so the expected argmax is langs[doc_id % 10]
+    with per-doc variation in the scores. The oracle mirrors the
+    synthesis and the generated per-language CASE profiles exactly."""
+    from lucene_spark.ops.textstats import LANG_SEED, lang_id_ngram
+
+    langs = sorted(LANG_SEED)
+    seeds = F.array(*[F.lit(LANG_SEED[lang][:100]) for lang in langs])
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(seeds, (F.col("doc_id") % 10 + 1).cast("int")),
+            F.substring("text", 1, 60),
+        ).alias("text"),
+    )
+    out = lang_id_ngram(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("best_score").alias("ng_score"),
+        F.col("lang").alias("lang_ngram"),
+    )
+
+
+def _tx_lang_ngram_sql() -> str:
+    from lucene_spark.ops.textstats import LANG_SEED, lang_id_ngram_sql
+
+    langs = sorted(LANG_SEED)
+    seed_arr = ", ".join(
+        "'" + LANG_SEED[lang][:100].replace("'", "''") + "'"
+        for lang in langs
+    )
+    inner = lang_id_ngram_sql(table="synth", id_col="doc_id",
+                              text_col="text")
+    return f"""
+WITH synth AS (
+    SELECT doc_id,
+           concat(([{seed_arr}])[doc_id % 10 + 1], ' ',
+                  substr(text, 1, 60)) AS text
+    FROM documents
+), ng AS ({inner})
+SELECT id::BIGINT AS id, best_score AS ng_score, lang AS lang_ngram
+FROM ng
+"""
+
+
 def _tx_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir), "doc_id", "text").select(
         F.col("id").cast("long").alias("id"),
@@ -2443,19 +2494,27 @@ def _ann_topk_strategies(spark, sf_dir):
 
 def _tx_lang_merged(spark, sf_dir):
     """English-ratio language ID joined with the 10-language marker
-    argmax over the multilingual fixture (former tx_lang_id +
-    tx_lang_id_multi) — one row per doc, both classifiers verified."""
+    argmax AND the round-5 char-trigram naive-Bayes classifier over
+    the multilingual fixtures (former tx_lang_id + tx_lang_id_multi,
+    extended with lang_id_ngram) — one row per doc, all three
+    classifiers verified."""
     multi = _tx_lang_multi(spark, sf_dir).select(
         "id", "best_ratio", F.col("lang").alias("lang_multi")
     )
-    return _tx_lang(spark, sf_dir).join(multi, "id")
+    return (
+        _tx_lang(spark, sf_dir)
+        .join(multi, "id")
+        .join(_tx_lang_ngram(spark, sf_dir), "id")
+    )
 
 
 def _tx_lang_merged_sql() -> str:
     return f"""
-WITH a AS ({_TX_LANG_SQL}), b AS ({_tx_lang_multi_sql()})
-SELECT a.id, a.stop_ratio, a.lang, b.best_ratio, b.lang AS lang_multi
-FROM a JOIN b USING (id)
+WITH a AS ({_TX_LANG_SQL}), b AS ({_tx_lang_multi_sql()}),
+     c AS ({_tx_lang_ngram_sql()})
+SELECT a.id, a.stop_ratio, a.lang, b.best_ratio, b.lang AS lang_multi,
+       c.ng_score, c.lang_ngram
+FROM a JOIN b USING (id) JOIN c USING (id)
 """
 
 
