@@ -466,6 +466,13 @@ class _BM25Scorer:
         )
 
     def score(self, doc_id: int) -> float:
+        # deleted docs stop matching immediately (reference: norm → 0
+        # zeroes classic scores, src/Index.php:1116-1138); the BM25
+        # extension has no norm factor, so gate here — _term_score's
+        # own check cannot cover phrase/boolean nodes (round-5
+        # lifecycle fuzzer finding)
+        if doc_id in self.ix.deleted:
+            return 0.0
         return self._score(self.q, doc_id)
 
     def _score(self, q: Query, doc_id: int) -> float:

@@ -73,6 +73,16 @@ class _GlobalStatsView:
     def doc_freq(self, term) -> int:
         return self._owner.global_doc_freq(term)
 
+    def has_term(self, term) -> bool:
+        """GLOBAL presence, not the shard's: optimize() prunes tree
+        nodes via has_term, and a per-shard answer would prune a
+        locally-absent term from one shard's tree but not another's —
+        changing the classic coord DENOMINATOR per shard and breaking
+        the shard-layout-invariance global_stats promises (round-5
+        multi-shard fuzzer finding, 3× coord skew). A globally-present
+        term that is locally absent simply contributes no postings."""
+        return self._owner.has_term(term)
+
     def prefetch_terms(self, terms) -> None:
         for ix in self._owner.indexes:
             ix.prefetch_terms(terms)

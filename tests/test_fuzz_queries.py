@@ -67,7 +67,7 @@ def zipf_corpus(spark, tmp_path_factory):
     m = PyIndex(field_policy={"text": "text"})
     for _i, text in rows:
         m.add_document({"text": text})
-    return ix, m, vocab
+    return ix, m, vocab, rows
 
 
 def _rand_query(rng: np.random.Generator, vocab: list[str], depth: int = 0):
@@ -209,7 +209,7 @@ def test_fuzz_model_spark_equality(
         ]
         base_seed = 10_000
     else:
-        ix, model, vocab = zipf_corpus
+        ix, model, vocab, _rows = zipf_corpus
         base_seed = 20_000
     n = N_CASES // 2
     kernel_checks = 0
@@ -232,3 +232,117 @@ def test_fuzz_model_spark_equality(
     # the rotation must actually fire (eligible shapes are common);
     # threshold scales with the case budget so a small smoke run passes
     assert kernel_checks >= max(1, n // 30), (kernel_checks, n)
+
+
+# ---------------------------------------------------- round-5 additions
+
+
+def _assert_pairs_match(got, want, ctx):
+    """Same contract as _assert_case's comparison: top-k size, score
+    multiset at 1e-6, and every returned doc present in the model's
+    result with its model score."""
+    assert len(got) == min(K, len(want)), ctx
+    want_scores = sorted((s for _d, s in want), reverse=True)[: len(got)]
+    got_scores = sorted((s for _d, s in got), reverse=True)
+    for g, w in zip(got_scores, want_scores):
+        assert g == pytest.approx(w, abs=1e-6), ctx
+    lookup = dict(want)
+    for d, s in got:
+        assert d in lookup, ctx
+        assert s == pytest.approx(lookup[d], abs=1e-6), ctx
+
+
+def test_fuzz_multishard(spark, zipf_corpus, tmp_path_factory):
+    """Round-5: the same fuzz trees through a 3-shard MultiSearcher
+    with global stats. The shards split the corpus into CONTIGUOUS
+    doc ranges in order, so MultiSearcher's offset-shifted global ids
+    equal the model's ids and (doc_id, score) parity is exact —
+    including wildcard/fuzzy/range trees, which rewrite once against
+    the merged cross-shard dictionary."""
+    from lucene_spark.index import IndexConfig, build_index
+    from lucene_spark.search.multi import MultiSearcher
+
+    _ix, model, vocab, rows = zipf_corpus
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=64)
+    cuts = [(0, 80), (80, 160), (160, 240)]
+    shards = []
+    for si, (lo, hi) in enumerate(cuts):
+        # rename the global id: build_index must assign DENSE 0-based
+        # local ids per shard (ordered by the old id), so that
+        # MultiSearcher's offset shift reproduces the global numbering
+        df = spark.createDataFrame(
+            [r for r in rows if lo <= r[0] < hi], "old_id long, text string"
+        )
+        d = str(tmp_path_factory.mktemp(f"fuzz_shard{si}"))
+        shards.append(build_index(spark, df, d, cfg, order_cols=["old_id"]))
+    ms = MultiSearcher(shards)
+    assert ms.total_docs == len(rows)
+    n = max(12, N_CASES // 8)
+    for i in range(n):
+        seed = 50_000 + i
+        mode = "bm25" if i % 2 == 0 else "classic"
+        q_model = _rand_query(np.random.default_rng(seed), vocab)
+        q_spark = _rand_query(np.random.default_rng(seed), vocab)
+        want = _model_pairs(model, q_model, mode)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in ms.search(
+                q_spark, k=K, score_mode=mode, global_stats=True
+            ).collect()
+        ]
+        _assert_pairs_match(got, want, (seed, mode, "multishard", str(q_model)))
+
+
+def test_fuzz_lifecycle_interleaved(spark, zipf_corpus, tmp_path_factory):
+    """Round-5: fuzz queries interleaved with the index lifecycle —
+    logical deletes (reference semantics: df/idf keep counting deleted
+    docs, results don't), then optimize (dense renumber, deletes
+    expunged), then a second round of deletes on the optimized index.
+    The model mirrors each step; every phase must stay in full parity
+    across the pruning rotation."""
+    from lucene_spark.index import IndexConfig, build_index
+    from lucene_spark.index.lifecycle import delete_docs, optimize_index
+    from lucene_spark.model import PyIndex
+
+    _ix, _model, vocab, rows = zipf_corpus
+    cfg = IndexConfig(field_policy={"text": "text"}, seg_size=64)
+    d0 = str(tmp_path_factory.mktemp("fuzz_lc"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = build_index(spark, df, d0, cfg, order_cols=["doc_id"])
+    model = PyIndex(field_policy={"text": "text"})
+    for _i, text in rows:
+        model.add_document({"text": text})
+
+    n = max(8, N_CASES // 16)
+
+    def fuzz_phase(ix_, model_, base_seed):
+        for i in range(n):
+            seed = base_seed + i
+            mode = "bm25" if i % 2 == 0 else "classic"
+            pruning = PRUNING_CYCLE[i % 3] if mode == "bm25" else "off"
+            _assert_case(ix_, model_, vocab, seed, mode, pruning)
+
+    # phase 1: logical deletes
+    dels = [r[0] for r in rows if r[0] % 7 == 3]
+    delete_docs(ix, dels)
+    for d in dels:
+        model.delete(d)
+    fuzz_phase(ix, model, 60_000)
+
+    # phase 2: optimize — dense renumber in old-id order; rebuild the
+    # model from survivors so ids align again
+    d1 = str(tmp_path_factory.mktemp("fuzz_lc_opt"))
+    ix2 = optimize_index(ix, d1)
+    survivors = [r for r in rows if r[0] not in set(dels)]
+    model2 = PyIndex(field_policy={"text": "text"})
+    for _i, text in survivors:
+        model2.add_document({"text": text})
+    assert ix2.n_docs == len(survivors)
+    fuzz_phase(ix2, model2, 61_000)
+
+    # phase 3: a second delete generation on the optimized index
+    dels2 = [i for i in range(len(survivors)) if i % 5 == 1]
+    delete_docs(ix2, dels2)
+    for d in dels2:
+        model2.delete(d)
+    fuzz_phase(ix2, model2, 62_000)
