@@ -25,6 +25,7 @@ Preprocessing/{Term,Phrase}.php.
 
 from __future__ import annotations
 
+import copy
 import re
 from abc import ABC, abstractmethod
 from typing import Iterable, Iterator, Protocol
@@ -282,6 +283,13 @@ class BooleanQuery(Query):
         if len(out) == 1:
             sub = out[0][0]
             if self.boost != 1.0:
+                # optimize() of leaf nodes returns SELF, so `sub` may be
+                # an object shared with the caller's tree (and with other
+                # shards' trees in MultiSearcher, whose per-shard
+                # optimize each collapse the same Boolean) — mutating its
+                # boost in place would compound across repeated
+                # optimize() calls. Copy before scaling.
+                sub = copy.copy(sub)
                 sub.boost = sub.boost * self.boost
             return sub
 

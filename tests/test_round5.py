@@ -110,3 +110,33 @@ class TestLshBucketCap:
             ).collect()
         }
         assert full == capped
+
+
+class TestOptimizeIdempotent:
+    """BooleanQuery.optimize's single-clause collapse must not mutate a
+    shared leaf: leaf optimize() returns SELF, so scaling the survivor's
+    boost in place compounded across repeated optimize() calls — e.g.
+    MultiSearcher, where every shard optimizes the same rewritten tree
+    (reference collapse semantics: Boolean.php:141-412)."""
+
+    class _Reader:
+        def has_term(self, term):
+            return True
+
+    def test_double_optimize_does_not_compound_boost(self):
+        from lucene_spark.search.query import (
+            BooleanQuery, Insignificant, Term, TermQuery,
+        )
+
+        leaf = TermQuery(Term("foo", "text"))
+        q = BooleanQuery()
+        q.add_subquery(leaf, None)
+        q.add_subquery(Insignificant(), None)
+        q.set_boost(2.0)
+        r = self._Reader()
+        o1 = q.optimize(r)
+        o2 = q.optimize(r)
+        assert o1.boost == pytest.approx(2.0)
+        assert o2.boost == pytest.approx(2.0)
+        # the caller's leaf is untouched
+        assert leaf.boost == pytest.approx(1.0)
