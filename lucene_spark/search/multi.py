@@ -252,8 +252,13 @@ class MultiSearcher:
             query = parse_query(query, default_field)
         if isinstance(query, Query):
             query = query.rewrite(self)
-        parts = []
-        for ix, off in zip(self.indexes, self.offsets):
+            # Warm every shard's df cache ONCE before the scatter so the
+            # threads below don't race into duplicate prefetch jobs (the
+            # global-stats view prefetches all shards from whichever
+            # thread asks first; with warm caches that's a no-op).
+            self.prefetch_terms(query.query_terms())
+
+        def _shard_hits(ix: SparkIndex, off: int) -> DataFrame:
             target = _GlobalStatsView(ix, self) if global_stats else ix
             hits = SparkSearcher(target).search(
                 query,
@@ -262,11 +267,29 @@ class MultiSearcher:
                 default_field=default_field,
                 classic_normalize=not global_classic,
             )
-            parts.append(
-                hits.select(
-                    (F.col("doc_id") + F.lit(off)).alias("doc_id"), "score"
-                )
+            return hits.select(
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"), "score"
             )
+
+        # PARALLEL scatter: each shard's plan construction runs driver-
+        # side Spark jobs (term prefetch misses, WAND seeds, candidate
+        # fetches) that serialized shard-by-shard when this was a plain
+        # loop — on a cluster the per-shard jobs touch disjoint executor
+        # sets, so overlapping them is the scatter half of scatter/
+        # gather. The tree handed to each thread is primitive and
+        # rewrite/optimize are copy-on-write (no shared-tree mutation —
+        # see BooleanQuery.optimize's collapse), and Spark supports
+        # concurrent job submission from driver threads. Results keep
+        # shard order, so plans are thread-count invariant.
+        if len(self.indexes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(self.indexes), 16)
+            ) as pool:
+                parts = list(pool.map(_shard_hits, self.indexes, self.offsets))
+        else:
+            parts = [_shard_hits(self.indexes[0], self.offsets[0])]
         un = reduce(lambda a, b: a.unionByName(b), parts)
         if global_classic:
             top = un.agg(F.max("score").alias("m"))
