@@ -18,9 +18,10 @@ parsing — no external libs, no full decode:
 
 ``parse_image_header`` is the per-blob kernel used by
 ``ops.multimodal.extract_features``'s mapInPandas stage (the Arrow
-batch flow is unchanged — this replaces only the header part of the
-decode stub; full pixel decode remains ``decode_real``'s
-NotImplementedError seam).
+batch flow is unchanged — this covers the header part; full PNG
+pixel / WAV PCM decode is real too, in ``ops.media_decode``, and
+``decode_real`` keeps the NotImplementedError seam only for the
+codec-bound formats, JPEG and MP4).
 
 The fixture generators emit byte-valid headers whose dimensions are a
 deterministic function of an integer id, so a SQL oracle can verify

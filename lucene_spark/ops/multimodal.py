@@ -2,13 +2,13 @@
 
 Images / audio / video ride through the engine as ``binary`` columns
 next to a typed metadata struct. The Spark-side plumbing here is real
-and tested — schema, Arrow batch shape, ``mapInPandas`` partition flow,
-deterministic feature extraction — while the actual media decode is
-STUBBED (the container has no image/audio libraries): ``decode_stub``
-derives a deterministic fake feature vector from the bytes, and
-:func:`decode_real` raises ``NotImplementedError`` with the intended
-signature so a PIL/ffmpeg implementation drops in without touching the
-pipeline.
+and tested — schema, Arrow batch shape, ``mapInPandas`` partition
+flow, deterministic feature extraction. Decode itself is REAL for PNG
+pixels and WAV PCM samples (:func:`decode_real` → ops.media_decode,
+stdlib zlib/struct + numpy — the container has no image/audio
+libraries and doesn't need them for these formats); JPEG/MP4 remain a
+documented ``NotImplementedError`` seam (entropy decoding requires
+codecs) with ``decode_stub`` as the deterministic test path.
 
 At 100 TB the binary column dominates IO: keep it in its own parquet
 column (column pruning skips it unless a decode stage runs) and size
@@ -83,17 +83,43 @@ def decode_stub(blob: bytes) -> np.ndarray:
 
 
 def decode_real(blob: bytes, media_type: str) -> np.ndarray:
-    """Real decode / feature-extract / resize / frame-sample entry point.
+    """Real decode → FEATURE_DIM float64 feature vector.
 
-    Intentionally unimplemented: the container ships no PIL/torchvision/
-    ffmpeg. An implementation must return a float64 feature vector of
-    length FEATURE_DIM per blob and be called from
-    :func:`extract_features`'s mapInPandas kernel in place of
-    :func:`decode_stub`.
+    PNG and WAV payloads are ACTUALLY decoded (ops.media_decode —
+    stdlib zlib/struct + numpy, no image/audio libraries): PNG →
+    [width, height, channels, pixel mean, pixel std, min, max,
+    n_bytes]; WAV → [sample_rate, channels, n_samples, rms, peak,
+    duration_ms, 0, n_bytes]. JPEG pixels and MP4 frames still raise
+    ``NotImplementedError`` — entropy decoding genuinely requires
+    codec libraries absent from this container; a codec drop-in slots
+    into the same routing without touching the pipeline.
     """
+    from lucene_spark.ops.media_decode import decode_png, decode_wav
+
+    if blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        px = decode_png(blob)
+        h, w, c = px.shape
+        f = px.astype(np.float64)
+        return np.array(
+            [w, h, c, f.mean(), f.std(), px.min(), px.max(), len(blob)],
+            dtype=np.float64,
+        )
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        samples, rate = decode_wav(blob)
+        f = samples.astype(np.float64)
+        rms = float(np.sqrt((f * f).mean())) if f.size else 0.0
+        peak = int(np.abs(samples).max()) if samples.size else 0
+        n = samples.shape[0]
+        return np.array(
+            [rate, samples.shape[1], n, rms, peak, n * 1000 // rate, 0.0,
+             len(blob)],
+            dtype=np.float64,
+        )
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; decode_stub provides the deterministic test path"
+        f"{media_type}: JPEG/MP4 decode requires codec libraries not "
+        "present in this environment; PNG/WAV decode is real "
+        "(ops.media_decode), decode_stub remains the deterministic "
+        "fallback for codec-bound formats"
     )
 
 
