@@ -379,21 +379,43 @@ def plan_frame_samples(video_meta_df: DataFrame, n_frames: int = 8) -> DataFrame
     )
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, decoder: str = "stub") -> DataFrame:
     """(id, payload binary, meta struct) → (id, meta.*, feature).
 
     Arrow-batched mapInPandas: each batch's blobs are decoded in one
-    vectorized pass (stub: sha256 per blob — the only per-item Python,
-    exactly where a real decoder would sit). Output drops the payload
-    column so downstream stages never re-read the heavy bytes.
+    pass — the only per-item Python, exactly where decode belongs.
+    Output drops the payload column so downstream stages never re-read
+    the heavy bytes.
+
+    ``decoder``: ``"stub"`` (default — deterministic sha256 features,
+    SQL-oracle-able) or ``"real"`` — route through
+    :func:`decode_real`: PNG pixels and WAV PCM are actually decoded
+    (ops.media_decode); codec-bound payloads (JPEG/MP4/unknown) yield
+    a null feature, the same null contract as the header parsers.
     """
+    if decoder not in ("stub", "real"):
+        raise ValueError(f"decoder must be 'stub' or 'real' (got {decoder!r})")
+
+    def _feat(blob, media_type):
+        if decoder == "stub":
+            return decode_stub(blob).tolist()
+        import struct
+        import zlib
+
+        try:
+            return decode_real(bytes(blob), media_type).tolist()
+        except (NotImplementedError, ValueError, zlib.error, struct.error):
+            return None
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [decode_stub(b).tolist() for b in pdf["payload"]]
             meta = pd.DataFrame(list(pdf["meta"]))
+            feats = [
+                _feat(b, t)
+                for b, t in zip(pdf["payload"], meta["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),

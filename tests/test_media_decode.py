@@ -263,3 +263,55 @@ def test_spark_decode_ops_row_exact(spark):
         else:
             assert img[i]["width"] is None
             assert aud[i]["sample_rate"] is None
+
+
+def test_extract_features_real_decoder(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from lucene_spark.ops.multimodal import extract_features
+
+    def payload(i):
+        if i % 3 == 0:
+            return synth_png_pixels(i)
+        if i % 3 == 1:
+            return synth_wav_pcm(i)
+        return synth_jpeg(i)  # codec-bound -> null feature
+
+    n = 30
+    rows = pd.DataFrame({"id": range(n), "payload": [payload(i) for i in range(n)]})
+    schema = StructType(
+        [StructField("id", LongType()), StructField("payload", BinaryType())]
+    )
+    df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn(
+            "meta",
+            F.struct(
+                F.when(F.col("id") % 3 == 1, "audio").otherwise("image")
+                .alias("media_type"),
+                F.length("payload").cast("long").alias("n_bytes"),
+                F.substring(F.sha2(F.col("payload"), 256), 1, 16)
+                .alias("sha_prefix"),
+            ),
+        )
+    )
+    got = {r["id"]: r["feature"] for r in extract_features(df, decoder="real").collect()}
+    assert len(got) == n
+    for i in range(n):
+        if i % 3 == 0:
+            px = fixture_pixels(i)
+            h, w, c = px.shape
+            assert got[i][:3] == [w, h, c], i
+            assert got[i][3] == pytest.approx(px.astype(np.float64).mean())
+        elif i % 3 == 1:
+            samples, rate = fixture_samples(i)
+            assert got[i][0] == rate and got[i][2] == samples.shape[0], i
+        else:
+            assert got[i] is None, i
+
+    with pytest.raises(ValueError):
+        extract_features(df, decoder="bogus")
