@@ -6,7 +6,12 @@ from lucene_spark.index.builder import (
     load_index,
     SparkIndex,
 )
-from lucene_spark.index.lifecycle import delete_docs, deleted_count, optimize_index
+from lucene_spark.index.lifecycle import (
+    delete_docs,
+    deleted_count,
+    optimize_index,
+    undelete_all,
+)
 
 __all__ = [
     "IndexConfig",
@@ -14,6 +19,7 @@ __all__ = [
     "delete_docs",
     "deleted_count",
     "optimize_index",
+    "undelete_all",
     "assign_doc_ids",
     "build_index",
     "load_index",

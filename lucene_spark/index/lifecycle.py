@@ -29,6 +29,7 @@ Spark shape:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -73,6 +74,29 @@ def deleted_count(index: SparkIndex) -> int:
     if t is None:
         return 0
     return t.select("doc_id").distinct().count()
+
+
+def undelete_all(index: SparkIndex) -> int:
+    """≙ reference ``undeleteAll()`` — restore every logically-deleted
+    document (SearchIndexInterface.php:336; MultiSearcher.php:834-839
+    fans it out per sub-index). The reference declares the operation but
+    ships an empty body ("@todo undeleteAll processing",
+    src/Index.php:1286-1288); the tombstone design makes it exact here:
+    dropping the tombstone generations removes the collect-time
+    anti-join, and because deletes never touched idf/norms/avgdl (the
+    rank-critical quirk reproduced in delete_docs), restored docs come
+    back with scores identical to pre-delete. Docs already expunged by
+    ``optimize_index`` are gone for good — same as the reference, where
+    optimize rewrites segments without the deleted rows.
+
+    Returns the number of distinct doc_ids restored.
+    """
+    n = deleted_count(index)
+    p = tombstones_path(index.index_dir)
+    if os.path.exists(p):
+        shutil.rmtree(p)
+    index.refresh_tombstones()
+    return n
 
 
 def optimize_index(

@@ -143,6 +143,14 @@ class MultiSearcher:
     def avg_field_len(self, field: str) -> float:
         return self.global_avg_field_len(field)
 
+    def undelete_all(self) -> int:
+        """≙ reference MultiSearcher::undeleteAll() (MultiSearcher.php:
+        834-839) — restore logical deletes on every shard. Returns the
+        total number of docs restored across shards."""
+        from lucene_spark.index.lifecycle import undelete_all
+
+        return sum(undelete_all(ix) for ix in self.indexes)
+
     def terms_from(self, field: str, start: str = ""):
         """K-way merged sorted term stream over all shards, duplicates
         collapsed — the reference's TermStreamsPriorityQueue semantics

@@ -47,6 +47,54 @@ def test_delete_hides_docs_but_keeps_stats(spark, small_index):
     assert deleted_count(small_index) == 2
 
 
+def test_undelete_all_restores_docs_and_scores(spark, small_index):
+    """≙ reference undeleteAll() (SearchIndexInterface.php:336) — the
+    reference's own body is an empty @todo (Index.php:1286-1288); here
+    restored docs must come back rank- and score-identical because
+    deletes never touched idf/norms (quirk W2)."""
+    from lucene_spark.index.lifecycle import delete_docs, deleted_count, undelete_all
+    from lucene_spark.search.executor import SparkSearcher
+
+    s = SparkSearcher(small_index)
+    before = s.search("text:spark", k=5).collect()
+    assert len(before) >= 2
+    # two tombstone generations, then restore both
+    delete_docs(small_index, [int(before[0]["doc_id"])])
+    delete_docs(small_index, [int(before[1]["doc_id"])])
+    assert deleted_count(small_index) == 2
+
+    assert undelete_all(small_index) == 2
+    assert deleted_count(small_index) == 0
+    assert small_index.tombstones is None
+    restored = s.search("text:spark", k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 12)) for r in restored] == [
+        (r["doc_id"], round(r["score"], 12)) for r in before
+    ]
+    # idempotent on a tombstone-free index
+    assert undelete_all(small_index) == 0
+
+
+def test_multisearcher_undelete_all(spark, transcripts_df, tmp_path):
+    """≙ MultiSearcher::undeleteAll() fan-out (MultiSearcher.php:834-839)."""
+    from lucene_spark.index import IndexConfig, build_index
+    from lucene_spark.index.lifecycle import delete_docs, deleted_count
+    from lucene_spark.search.multi import MultiSearcher
+
+    half = transcripts_df.where(F.col("conv_id") < "conv00000020")
+    rest = transcripts_df.where(F.col("conv_id") >= "conv00000020")
+    ix1 = build_index(spark, half, str(tmp_path / "a"), IndexConfig(seg_size=100))
+    ix2 = build_index(spark, rest, str(tmp_path / "b"), IndexConfig(seg_size=100))
+    ms = MultiSearcher([ix1, ix2])
+    before = [(r["doc_id"], round(r["score"], 12)) for r in ms.search("text:spark", k=6).collect()]
+    delete_docs(ix1, [0])
+    delete_docs(ix2, [1, 2])
+    assert deleted_count(ix1) + deleted_count(ix2) == 3
+    assert ms.undelete_all() == 3
+    assert deleted_count(ix1) == 0 and deleted_count(ix2) == 0
+    after = [(r["doc_id"], round(r["score"], 12)) for r in ms.search("text:spark", k=6).collect()]
+    assert after == before
+
+
 def test_optimize_expunges_and_renumbers(spark, small_index, tmp_path):
     from lucene_spark.index.lifecycle import delete_docs, optimize_index
     from lucene_spark.search.executor import SparkSearcher
