@@ -1209,6 +1209,24 @@ class SparkIndex:
     def n_docs(self) -> int:
         return self.stats["n_docs"] + self._delta_docs
 
+    def num_docs(self) -> int:
+        """≙ reference numDocs() (SearchIndexInterface.php:87): live doc
+        count, i.e. :attr:`n_docs` (= count()/maxDoc(), which keeps
+        counting deleted docs until optimize) minus logical deletes."""
+        from lucene_spark.index.lifecycle import deleted_count
+
+        return self.n_docs - deleted_count(self)
+
+    def is_deleted(self, doc_id: int) -> bool:
+        """≙ reference isDeleted($id) (SearchIndexInterface.php:97)."""
+        if self.tombstones is None:
+            return False
+        return self.tombstones.where(F.col("doc_id") == int(doc_id)).limit(1).count() > 0
+
+    def has_deletions(self) -> bool:
+        """≙ reference hasDeletions() (SearchIndexInterface.php:295)."""
+        return self.tombstones is not None
+
     def field_names(self, indexed_only: bool = True) -> list[str]:
         # field_policy insertion order ≙ the reference's .fnm order
         return list(self.stats["fields"].keys())

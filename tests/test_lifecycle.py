@@ -63,9 +63,18 @@ def test_undelete_all_restores_docs_and_scores(spark, small_index):
     delete_docs(small_index, [int(before[1]["doc_id"])])
     assert deleted_count(small_index) == 2
 
+    # reference reader-protocol views of the deleted state
+    assert small_index.has_deletions()
+    assert small_index.is_deleted(int(before[0]["doc_id"]))
+    assert not small_index.is_deleted(int(before[2]["doc_id"]))
+    assert small_index.num_docs() == small_index.n_docs - 2
+
     assert undelete_all(small_index) == 2
     assert deleted_count(small_index) == 0
     assert small_index.tombstones is None
+    assert not small_index.has_deletions()
+    assert not small_index.is_deleted(int(before[0]["doc_id"]))
+    assert small_index.num_docs() == small_index.n_docs
     restored = s.search("text:spark", k=5).collect()
     assert [(r["doc_id"], round(r["score"], 12)) for r in restored] == [
         (r["doc_id"], round(r["score"], 12)) for r in before
