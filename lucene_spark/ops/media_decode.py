@@ -21,10 +21,13 @@ durations); this module decodes actual payloads:
   and hand-computed spec vectors (tests/test_media_decode.py) pin the
   decoder independently of the encoder so the pair can't cancel bugs.
 
-JPEG pixels and MP4 frames remain behind :func:`NotImplementedError`
-in ``ops.multimodal.decode_real`` — entropy decoding genuinely needs
-codec libraries; routing, schema and batch flow are shared with the
-real PNG/WAV paths here, so a codec drop-in touches nothing upstream.
+Baseline JPEG decode is ALSO real — ``ops.jpeg`` implements the
+ITU-T T.81 baseline codec (Huffman entropy decode + dequant + batched
+IDCT) in pure numpy; :func:`decode_image_pixels` routes by signature.
+Only MP4 frame decode remains behind ``NotImplementedError`` in
+``ops.multimodal.decode_real`` — video codecs genuinely need
+libraries; routing, schema and batch flow are shared with the real
+paths here, so a codec drop-in touches nothing upstream.
 
 Unfiltering stays vectorized where the recurrence allows: Sub is an
 exact per-lane ``cumsum`` mod 256, Up is one whole-row add, None is a
@@ -328,6 +331,24 @@ def synth_png_pixels(i: int) -> bytes:
     return encode_png(fixture_pixels(i))
 
 
+def synth_jpeg_pixels(i: int) -> bytes:
+    """id → complete baseline JPEG carrying real pixels: grayscale /
+    RGB 4:4:4 / RGB 4:2:0 cycled by id, quality varied — exercises
+    every decoder MCU shape."""
+    from lucene_spark.ops.jpeg import encode_baseline_jpeg
+
+    px = fixture_pixels(i)
+    if px.shape[2] == 2:  # JPEG has no 2-channel mode; drop alpha
+        px = px[:, :, :1]
+    elif px.shape[2] == 4:
+        px = px[:, :, :3]
+    sub = "420" if (px.shape[2] == 3 and i % 2) else "444"
+    return encode_baseline_jpeg(
+        px, quality=(70, 85, 92, 100)[i % 4], subsampling=sub,
+        restart_interval=(0, 3)[i % 2],
+    )
+
+
 def fixture_samples(i: int) -> tuple[np.ndarray, int]:
     """Deterministic ((n, ch) int16, rate) for id ``i`` — integer LCG
     samples, the same (rate, channels, n_samples) formulas as
@@ -390,11 +411,13 @@ _PCM_SCHEMA = StructType(
 
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """(id, payload binary) → (id, width, height, channels, px_mean,
-    px_std, px_min, px_max) by REAL PNG pixel decode (stdlib zlib +
-    numpy unfiltering — no image library). Non-PNG / unsupported-PNG
-    payloads yield null stats. Arrow-batched ``mapInPandas``, payload
-    dropped on output — one scan, no shuffle, per-task memory bounded
-    by the Arrow batch of blobs."""
+    px_std, px_min, px_max) by REAL pixel decode — PNG (stdlib zlib +
+    numpy unfiltering) or baseline JPEG (ops.jpeg, numpy Huffman+IDCT),
+    routed by signature. Unrecognized / unsupported payloads yield
+    null stats. Arrow-batched ``mapInPandas``, payload dropped on
+    output — one scan, no shuffle, per-task memory bounded by the
+    Arrow batch of blobs."""
+    from lucene_spark.ops.jpeg import decode_baseline_jpeg
 
     def kernel(batches):
         for pdf in batches:
@@ -403,8 +426,12 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
             rows = []
             for i, blob in zip(pdf["id"], pdf["payload"]):
                 try:
-                    px = decode_png(bytes(blob))
-                except (ValueError, zlib.error, struct.error):
+                    raw = bytes(blob)
+                    if raw[:2] == b"\xff\xd8":
+                        px = decode_baseline_jpeg(raw)
+                    else:
+                        px = decode_png(raw)
+                except (ValueError, zlib.error, struct.error, IndexError):
                     rows.append(
                         (int(i), None, None, None, None, None, None, None)
                     )

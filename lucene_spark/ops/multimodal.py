@@ -85,14 +85,14 @@ def decode_stub(blob: bytes) -> np.ndarray:
 def decode_real(blob: bytes, media_type: str) -> np.ndarray:
     """Real decode → FEATURE_DIM float64 feature vector.
 
-    PNG and WAV payloads are ACTUALLY decoded (ops.media_decode —
-    stdlib zlib/struct + numpy, no image/audio libraries): PNG →
-    [width, height, channels, pixel mean, pixel std, min, max,
-    n_bytes]; WAV → [sample_rate, channels, n_samples, rms, peak,
-    duration_ms, 0, n_bytes]. JPEG pixels and MP4 frames still raise
-    ``NotImplementedError`` — entropy decoding genuinely requires
-    codec libraries absent from this container; a codec drop-in slots
-    into the same routing without touching the pipeline.
+    PNG, WAV and baseline JPEG payloads are ACTUALLY decoded
+    (ops.media_decode / ops.jpeg — stdlib zlib/struct + numpy, no
+    image/audio libraries): PNG/JPEG → [width, height, channels, pixel
+    mean, pixel std, min, max, n_bytes]; WAV → [sample_rate, channels,
+    n_samples, rms, peak, duration_ms, 0, n_bytes]. MP4 frames still
+    raise ``NotImplementedError`` — video codecs genuinely require
+    libraries absent from this container; a codec drop-in slots into
+    the same routing without touching the pipeline.
     """
     from lucene_spark.ops.media_decode import decode_png, decode_wav
 
@@ -115,11 +115,21 @@ def decode_real(blob: bytes, media_type: str) -> np.ndarray:
              len(blob)],
             dtype=np.float64,
         )
+    if blob[:2] == b"\xff\xd8":
+        from lucene_spark.ops.jpeg import decode_baseline_jpeg
+
+        px = decode_baseline_jpeg(blob)
+        h, w, c = px.shape
+        f = px.astype(np.float64)
+        return np.array(
+            [w, h, c, f.mean(), f.std(), px.min(), px.max(), len(blob)],
+            dtype=np.float64,
+        )
     raise NotImplementedError(
-        f"{media_type}: JPEG/MP4 decode requires codec libraries not "
-        "present in this environment; PNG/WAV decode is real "
-        "(ops.media_decode), decode_stub remains the deterministic "
-        "fallback for codec-bound formats"
+        f"{media_type}: MP4 frame decode requires codec libraries not "
+        "present in this environment; PNG/WAV/baseline-JPEG decode is "
+        "real (ops.media_decode, ops.jpeg), decode_stub remains the "
+        "deterministic fallback for codec-bound formats"
     )
 
 
@@ -389,9 +399,10 @@ def extract_features(df: DataFrame, decoder: str = "stub") -> DataFrame:
 
     ``decoder``: ``"stub"`` (default — deterministic sha256 features,
     SQL-oracle-able) or ``"real"`` — route through
-    :func:`decode_real`: PNG pixels and WAV PCM are actually decoded
-    (ops.media_decode); codec-bound payloads (JPEG/MP4/unknown) yield
-    a null feature, the same null contract as the header parsers.
+    :func:`decode_real`: PNG/baseline-JPEG pixels and WAV PCM are
+    actually decoded (ops.media_decode, ops.jpeg); codec-bound
+    payloads (MP4/unknown) yield a null feature, the same null
+    contract as the header parsers.
     """
     if decoder not in ("stub", "real"):
         raise ValueError(f"decoder must be 'stub' or 'real' (got {decoder!r})")
@@ -404,7 +415,8 @@ def extract_features(df: DataFrame, decoder: str = "stub") -> DataFrame:
 
         try:
             return decode_real(bytes(blob), media_type).tolist()
-        except (NotImplementedError, ValueError, zlib.error, struct.error):
+        except (NotImplementedError, ValueError, zlib.error, struct.error,
+                IndexError):
             return None
 
     def kernel(batches):

@@ -203,8 +203,19 @@ def test_decode_real_png_and_wav_vs_local():
     assert afeat[2] == samples.shape[0]
     assert afeat[3] == pytest.approx(float(np.sqrt((f * f).mean())))
 
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG is now REAL-decoded (ops.jpeg); a header-only JPEG
+    # with no scan is malformed input, not a codec gap
+    from lucene_spark.ops.media_decode import synth_jpeg_pixels
+
+    jfeat = decode_real(synth_jpeg_pixels(8), "image")
+    assert jfeat[2] in (1.0, 3.0) and jfeat[0] > 0
+    with pytest.raises(ValueError):
         decode_real(synth_jpeg(2), "image")
+    # MP4 frames remain the codec-bound seam
+    from lucene_spark.ops.media_headers import synth_mp4
+
+    with pytest.raises(NotImplementedError):
+        decode_real(synth_mp4(2), "video")
 
 
 # --- Spark ops: distributed decode vs driver-side truth ---
@@ -279,7 +290,7 @@ def test_extract_features_real_decoder(spark):
             return synth_png_pixels(i)
         if i % 3 == 1:
             return synth_wav_pcm(i)
-        return synth_jpeg(i)  # codec-bound -> null feature
+        return synth_jpeg(i)  # header-only JPEG (no scan) -> null feature
 
     n = 30
     rows = pd.DataFrame({"id": range(n), "payload": [payload(i) for i in range(n)]})

@@ -1,5 +1,5 @@
-"""Media-decode scale smoke: real PNG pixel + WAV PCM decode as
-distributed Arrow-batched scans.
+"""Media-decode scale smoke: real PNG pixel + WAV PCM + baseline-JPEG
+decode as distributed Arrow-batched scans.
 
 Payloads are synthesized deterministically per id (ops.media_decode
 fixtures — real pixels, real samples, filter types cycled per row so
@@ -16,8 +16,10 @@ can't hand to the JVM); throughput scales with cores × batch flow,
 which is exactly what the two-level run in BASELINE §9 evidences for
 the rest of the engine.
 
-Usage: python tools/media_smoke.py [n_images] [n_wavs]
-(defaults 300_000 / 300_000). Prints one JSON line for BASELINE.md.
+Usage: python tools/media_smoke.py [n_images] [n_wavs] [n_jpegs]
+(defaults 300_000 / 300_000 / n_images//3 — JPEG decode does real
+per-coefficient Huffman work, so its per-blob cost is higher by
+nature). Prints one JSON line for BASELINE.md.
 """
 
 from __future__ import annotations
@@ -44,6 +46,7 @@ from lucene_spark.ops.media_decode import (  # noqa: E402
     decode_image_pixels,
     fixture_pixels,
     fixture_samples,
+    synth_jpeg_pixels,
     synth_png_pixels,
     synth_wav_pcm,
 )
@@ -156,6 +159,51 @@ def main():
         f = samples.astype(np.float64)
         assert abs(r["rms"] - float(np.sqrt((f * f).mean()))) < 1e-9, r
         assert r["peak"] == int(np.abs(samples).max()), r
+
+    # --- JPEG: full baseline decode (Huffman + IDCT in numpy) -----------
+    # fixtures cycle grayscale / RGB 4:4:4 / RGB 4:2:0, quality 70..100,
+    # restart markers on odd ids — every decoder MCU shape is hot.
+    # Dims are closed-form-checked on EVERY row; a 200-row driver sample
+    # must match a driver-side decode of the same bytes exactly (the
+    # codec's pixel accuracy itself is pinned by tests/test_jpeg.py's
+    # hand-crafted spec streams).
+    n_jpg = int(sys.argv[3]) if len(sys.argv) > 3 else max(n_img // 3, 1)
+    _attach(spark.range(n_jpg).repartition(4 * cpus), synth_jpeg_pixels) \
+        .write.parquet(d + "/jpg", mode="overwrite")
+    jpgs = spark.read.parquet(d + "/jpg")
+    t0 = time.time()
+    jout = decode_image_pixels(jpgs)
+    jbad = jout.where(
+        (F.col("height") != 2 + F.col("id") % 24)
+        | (F.col("width") != 2 + (F.col("id") * 5) % 24)
+        | (
+            F.col("channels")  # fixture c 1/2 -> gray, 3/4 -> RGB
+            != F.element_at(
+                F.array(F.lit(1), F.lit(1), F.lit(3), F.lit(3)),
+                (F.col("id") % 4 + 1).cast("int"),
+            )
+        )
+        | F.col("px_mean").isNull()
+    ).count()
+    t_jpg = time.time() - t0
+    assert jbad == 0, f"{jbad} JPEG rows disagree with the closed form"
+    report["jpeg"] = {
+        "sec": round(t_jpg, 1),
+        "jpegs_per_sec": round(n_jpg / t_jpg),
+        "mismatches": jbad,
+    }
+    print("jpeg:", report["jpeg"], flush=True)
+
+    from lucene_spark.ops.jpeg import decode_baseline_jpeg
+
+    jsample = jout.where(F.col("id") < 200).collect()
+    assert len(jsample) == min(200, n_jpg)
+    for r in jsample:
+        px = decode_baseline_jpeg(synth_jpeg_pixels(int(r["id"])))
+        f = px.astype(np.float64)
+        assert (r["height"], r["width"], r["channels"]) == px.shape, r
+        assert abs(r["px_mean"] - f.mean()) < 1e-9, r
+        assert abs(r["px_std"] - f.std()) < 1e-9, r
 
     shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(report))
