@@ -24,10 +24,13 @@ durations); this module decodes actual payloads:
 Baseline JPEG decode is ALSO real — ``ops.jpeg`` implements the
 ITU-T T.81 baseline codec (Huffman entropy decode + dequant + batched
 IDCT) in pure numpy; :func:`decode_image_pixels` routes by signature.
-Only MP4 frame decode remains behind ``NotImplementedError`` in
-``ops.multimodal.decode_real`` — video codecs genuinely need
-libraries; routing, schema and batch flow are shared with the real
-paths here, so a codec drop-in touches nothing upstream.
+And ``ops.mjpeg`` demuxes MJPEG tracks out of MP4 sample tables, so
+video FRAMES decode for real too when the track is Motion-JPEG. Only
+compressed-codec frames (H.264/H.265/VP9/AV1) remain behind
+``NotImplementedError`` in ``ops.multimodal.decode_real`` — those
+genuinely need codec libraries; routing, schema and batch flow are
+shared with the real paths here, so a codec drop-in touches nothing
+upstream.
 
 Unfiltering stays vectorized where the recurrence allows: Sub is an
 exact per-lane ``cumsum`` mod 256, Up is one whole-row add, None is a

@@ -16,10 +16,11 @@ can't hand to the JVM); throughput scales with cores × batch flow,
 which is exactly what the two-level run in BASELINE §9 evidences for
 the rest of the engine.
 
-Usage: python tools/media_smoke.py [n_images] [n_wavs] [n_jpegs]
-(defaults 300_000 / 300_000 / n_images//3 — JPEG decode does real
-per-coefficient Huffman work, so its per-blob cost is higher by
-nature). Prints one JSON line for BASELINE.md.
+Usage: python tools/media_smoke.py [n_images] [n_wavs] [n_jpegs] [n_videos]
+(defaults 300_000 / 300_000 / n_images//3 / n_jpegs//4 — JPEG decode
+does real per-coefficient Huffman work, so its per-blob cost is
+higher by nature; each MJPEG video carries 2-6 JPEG frames). Prints
+one JSON line for BASELINE.md.
 """
 
 from __future__ import annotations
@@ -204,6 +205,58 @@ def main():
         assert (r["height"], r["width"], r["channels"]) == px.shape, r
         assert abs(r["px_mean"] - f.mean()) < 1e-9, r
         assert abs(r["px_std"] - f.std()) < 1e-9, r
+
+    # --- MJPEG video: MP4 demux + per-frame JPEG decode -----------------
+    # fixture videos carry 2-6 real JPEG frames each; every frame of
+    # every video is decoded; frame COUNT is closed-form-checked per id
+    # and a 100-video driver sample is matched frame-exactly.
+    from lucene_spark.ops.mjpeg import (
+        decode_mjpeg_mp4,
+        decode_video_frames,
+        fixture_n_frames,
+        synth_mjpeg_mp4,
+    )
+
+    n_vid = int(sys.argv[4]) if len(sys.argv) > 4 else max(n_jpg // 4, 1)
+    _attach(spark.range(n_vid).repartition(4 * cpus), synth_mjpeg_mp4) \
+        .write.parquet(d + "/vid", mode="overwrite")
+    vids = spark.read.parquet(d + "/vid")
+    t0 = time.time()
+    vout = decode_video_frames(vids)
+    vrow = (  # one decode pass: per-id frame counts -> total + mismatches
+        vout.groupBy("id")
+        .count()
+        .agg(
+            F.sum("count").alias("frames"),
+            F.sum(
+                F.when(F.col("count") != 2 + F.col("id") % 5, 1).otherwise(0)
+            ).alias("bad"),  # fixture_n_frames closed form
+        )
+        .collect()[0]
+    )
+    vbad, n_frames_total = int(vrow["bad"]), int(vrow["frames"])
+    t_vid = time.time() - t0
+    assert vbad == 0, f"{vbad} videos decoded the wrong frame count"
+    report["mjpeg_video"] = {
+        "sec": round(t_vid, 1),
+        "videos": n_vid,
+        "frames": n_frames_total,
+        "frames_per_sec": round(n_frames_total / t_vid),
+        "mismatches": vbad,
+    }
+    print("mjpeg_video:", report["mjpeg_video"], flush=True)
+
+    vsample = {}
+    for r in vout.where(F.col("id") < 100).collect():
+        vsample.setdefault(int(r["id"]), []).append(r)
+    for i, rows in vsample.items():
+        truth = dict(decode_mjpeg_mp4(synth_mjpeg_mp4(i)))
+        assert len(rows) == fixture_n_frames(i)
+        for r in rows:
+            px = truth[int(r["frame_idx"])]
+            f = px.astype(np.float64)
+            assert (r["height"], r["width"], r["channels"]) == px.shape, r
+            assert abs(r["px_mean"] - f.mean()) < 1e-9, r
 
     shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(report))
