@@ -4,11 +4,13 @@ Images / audio / video ride through the engine as ``binary`` columns
 next to a typed metadata struct. The Spark-side plumbing here is real
 and tested — schema, Arrow batch shape, ``mapInPandas`` partition
 flow, deterministic feature extraction. Decode itself is REAL for PNG
-pixels and WAV PCM samples (:func:`decode_real` → ops.media_decode,
-stdlib zlib/struct + numpy — the container has no image/audio
-libraries and doesn't need them for these formats); JPEG/MP4 remain a
-documented ``NotImplementedError`` seam (entropy decoding requires
-codecs) with ``decode_stub`` as the deterministic test path.
+pixels, WAV PCM samples, baseline JPEG pixels and MJPEG-MP4 video
+frames (:func:`decode_real` → ops.media_decode / ops.jpeg /
+ops.mjpeg, stdlib zlib/struct + numpy — the container has no media
+libraries and doesn't need them for these formats); only
+compressed-codec video frames (H.264/H.265/VP9/AV1) remain a
+documented ``NotImplementedError`` seam, with ``decode_stub`` as the
+deterministic test path.
 
 At 100 TB the binary column dominates IO: keep it in its own parquet
 column (column pruning skips it unless a decode stage runs) and size
@@ -420,10 +422,10 @@ def extract_features(df: DataFrame, decoder: str = "stub") -> DataFrame:
 
     ``decoder``: ``"stub"`` (default — deterministic sha256 features,
     SQL-oracle-able) or ``"real"`` — route through
-    :func:`decode_real`: PNG/baseline-JPEG pixels and WAV PCM are
-    actually decoded (ops.media_decode, ops.jpeg); codec-bound
-    payloads (MP4/unknown) yield a null feature, the same null
-    contract as the header parsers.
+    :func:`decode_real`: PNG/baseline-JPEG pixels, WAV PCM and
+    MJPEG-MP4 frames are actually decoded (ops.media_decode, ops.jpeg,
+    ops.mjpeg); codec-bound payloads (compressed video / unknown)
+    yield a null feature, the same null contract as the header parsers.
     """
     if decoder not in ("stub", "real"):
         raise ValueError(f"decoder must be 'stub' or 'real' (got {decoder!r})")
