@@ -9,10 +9,11 @@ durations); this module decodes actual payloads:
   concatenated IDAT → ``zlib.inflate`` → per-scanline unfiltering
   (all five filter types: None/Sub/Up/Average/Paeth) → (H, W, C)
   uint8 array. Supports bit depth 8, color types 0 (gray), 2 (RGB),
-  4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelmingly
-  common storage shape. Palette, 16-bit and Adam7 raise
-  ``UnsupportedMediaError`` (the Spark kernels map that to null rows,
-  the same contract as an unrecognizable header).
+  3 (indexed — PLTE lookup, tRNS alpha) 4 (gray+alpha), 6 (RGBA),
+  non-interlaced — the overwhelmingly common storage shapes. Sub-8-bit
+  depths, 16-bit and Adam7 raise ``UnsupportedMediaError`` (the Spark
+  kernels map that to null rows, the same contract as an
+  unrecognizable header).
 - **WAV**: RIFF chunk walk to the ``data`` chunk, then a zero-copy
   ``np.frombuffer`` view — PCM16 (int16) and PCM8 (uint8, recentred
   to int16) → (n_samples, channels) int16.
@@ -63,7 +64,7 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 class UnsupportedMediaError(ValueError):
     """Well-formed media that this stdlib decoder intentionally does
-    not cover (palette/16-bit/interlaced PNG, compressed WAV)."""
+    not cover (sub-8-bit/16-bit/interlaced PNG, compressed WAV)."""
 
 
 # ---------------------------------------------------------------------------
@@ -144,13 +145,17 @@ def _unfilter(raw: np.ndarray, height: int, width: int, bpp: int) -> np.ndarray:
 def decode_png(blob: bytes) -> np.ndarray:
     """Full PNG pixel decode → (height, width, channels) uint8.
 
-    Bit depth 8, color types 0/2/4/6, non-interlaced. Raises
-    ``UnsupportedMediaError`` for valid-but-uncovered PNGs (palette,
-    16-bit, Adam7) and ``ValueError`` for malformed bytes."""
+    Bit depth 8, color types 0/2/3/4/6, non-interlaced. Indexed
+    (palette) images resolve through PLTE — plus tRNS alpha when
+    present — to (H, W, 3) or (H, W, 4). Raises
+    ``UnsupportedMediaError`` for valid-but-uncovered PNGs (sub-8-bit
+    or 16-bit depth, Adam7) and ``ValueError`` for malformed bytes."""
     if not blob.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     width = height = None
     bpp = None
+    color_type = None
+    palette = trns = None
     idat = []
     for tag, payload in _png_chunks(blob):
         if tag == b"IHDR":
@@ -159,15 +164,19 @@ def decode_png(blob: bytes) -> np.ndarray:
             )
             if depth != 8:
                 raise UnsupportedMediaError(f"PNG bit depth {depth} (only 8)")
-            if color_type not in _CHANNELS:
-                raise UnsupportedMediaError(
-                    f"PNG color type {color_type} (palette not supported)"
-                )
+            if color_type != 3 and color_type not in _CHANNELS:
+                raise UnsupportedMediaError(f"PNG color type {color_type}")
             if interlace != 0:
                 raise UnsupportedMediaError("interlaced PNG (Adam7)")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
-            bpp = _CHANNELS[color_type]
+            bpp = 1 if color_type == 3 else _CHANNELS[color_type]
+        elif tag == b"PLTE":
+            if len(payload) % 3 or not payload:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(payload)
     if width is None or bpp is None:
@@ -180,7 +189,20 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG pixel data is {raw.size} bytes, expected {expect}"
         )
-    return _unfilter(raw, height, width, bpp).reshape(height, width, bpp)
+    px = _unfilter(raw, height, width, bpp).reshape(height, width, bpp)
+    if color_type != 3:
+        return px
+    if palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    idx = px[:, :, 0]
+    if int(idx.max()) >= len(palette):
+        raise ValueError("palette index out of range")
+    rgb = palette[idx]  # (H, W, 3)
+    if trns is None:
+        return rgb
+    alpha = np.full(len(palette), 255, dtype=np.uint8)
+    alpha[: min(len(trns), len(palette))] = trns[: len(palette)]
+    return np.concatenate([rgb, alpha[idx][:, :, None]], axis=-1)
 
 
 def _filter_rows(px2d: np.ndarray, width: int, bpp: int, filters) -> bytes:

@@ -123,11 +123,64 @@ def test_multi_idat_chunks_concatenate():
 def test_rejects_unsupported_pngs():
     raw = bytes([0, 1, 2])
     with pytest.raises(UnsupportedMediaError):
-        decode_png(_png(2, 1, 3, raw))  # palette
+        decode_png(_png(2, 1, 3, raw, depth=4))  # sub-8-bit palette
     with pytest.raises(UnsupportedMediaError):
         decode_png(_png(2, 1, 0, raw, depth=16))
     with pytest.raises(UnsupportedMediaError):
         decode_png(_png(2, 1, 0, raw, interlace=1))
+
+
+# --- indexed (palette) PNGs, chunks built straight from the spec ---
+
+def _png_pal(width, height, raw, palette, trns=None):
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_palette_png_decodes_via_plte():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    raw = bytes([0, 0, 1, 2]) + bytes([0, 3, 0, 1])  # filter-0 rows of indices
+    px = decode_png(_png_pal(3, 2, raw, pal))
+    assert px.shape == (2, 3, 3)
+    assert px[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert px[1].tolist() == [[255, 255, 255], [255, 0, 0], [0, 255, 0]]
+
+
+def test_palette_png_trns_alpha():
+    pal = bytes([10, 20, 30, 40, 50, 60])
+    raw = bytes([0, 0, 1, 1, 0])
+    # tRNS covers idx 0 only (alpha 128); idx 1 defaults to opaque
+    px = decode_png(_png_pal(4, 1, raw, pal, trns=bytes([128])))
+    assert px.shape == (1, 4, 4)
+    assert px[0, 0].tolist() == [10, 20, 30, 128]
+    assert px[0, 1].tolist() == [40, 50, 60, 255]
+    assert px[0, 3].tolist() == [10, 20, 30, 128]
+
+
+def test_palette_png_indices_go_through_filters():
+    # Sub filter applies to the INDEX bytes: recon = cumsum mod 256
+    pal = b"".join(bytes([10 * i] * 3) for i in range(5))
+    raw = bytes([1, 1, 1, 2])  # reconstructed indices 1, 2, 4
+    px = decode_png(_png_pal(3, 1, raw, pal))
+    assert px[0].tolist() == [[10] * 3, [20] * 3, [40] * 3]
+
+
+def test_palette_png_bad_inputs():
+    raw = bytes([0, 0, 1])
+    with pytest.raises(ValueError):  # index 5 past a 1-entry palette
+        decode_png(_png_pal(2, 1, bytes([0, 0, 5]), bytes([1, 2, 3])))
+    with pytest.raises(ValueError):  # PLTE not a multiple of 3
+        decode_png(_png_pal(2, 1, raw, bytes([1, 2, 3, 4])))
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    no_plte = (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(no_plte)
 
 
 def test_rejects_malformed():
