@@ -8,15 +8,18 @@ durations); this module decodes actual payloads:
 - **PNG** (RFC 2083 / W3C PNG spec): signature → chunk walk →
   concatenated IDAT → ``zlib.inflate`` → per-scanline unfiltering
   (all five filter types: None/Sub/Up/Average/Paeth) → (H, W, C)
-  uint8 array. Supports bit depth 8, color types 0 (gray), 2 (RGB),
-  3 (indexed — PLTE lookup, tRNS alpha) 4 (gray+alpha), 6 (RGBA),
-  non-interlaced — the overwhelmingly common storage shapes. Sub-8-bit
-  depths, 16-bit and Adam7 raise ``UnsupportedMediaError`` (the Spark
-  kernels map that to null rows, the same contract as an
-  unrecognizable header).
+  array. The FULL storage matrix of the spec: bit depths 1/2/4/8
+  (uint8 out, sub-8 gray rescaled ×255/(2**d−1)) and 16 (uint16 out),
+  color types 0 (gray), 2 (RGB), 3 (indexed — PLTE lookup, tRNS
+  alpha), 4 (gray+alpha), 6 (RGBA), gray/truecolor tRNS color keys,
+  and both interlace methods (none + Adam7 7-pass).
 - **WAV**: RIFF chunk walk to the ``data`` chunk, then a zero-copy
-  ``np.frombuffer`` view — PCM16 (int16) and PCM8 (uint8, recentred
-  to int16) → (n_samples, channels) int16.
+  ``np.frombuffer`` view — integer PCM 8/16/24/32, IEEE float 32/64,
+  ITU-T G.711 A-law/µ-law (vectorized expansion tables), and
+  WAVE_FORMAT_EXTENSIBLE unwrapping → (n_samples, channels) int16.
+  Only genuinely compressed codecs (ADPCM, MP3-in-WAV) raise
+  ``UnsupportedMediaError`` (the Spark kernels map that to null rows,
+  the same contract as an unrecognizable header).
 - **encode_png** — the inverse direction, used by fixtures and tests:
   deterministic synthetic images round-trip through encode→decode,
   and hand-computed spec vectors (tests/test_media_decode.py) pin the
@@ -25,13 +28,14 @@ durations); this module decodes actual payloads:
 Baseline JPEG decode is ALSO real — ``ops.jpeg`` implements the
 ITU-T T.81 baseline codec (Huffman entropy decode + dequant + batched
 IDCT) in pure numpy; :func:`decode_image_pixels` routes by signature.
-And ``ops.mjpeg`` demuxes MJPEG tracks out of MP4 sample tables, so
-video FRAMES decode for real too when the track is Motion-JPEG. Only
-compressed-codec frames (H.264/H.265/VP9/AV1) remain behind
-``NotImplementedError`` in ``ops.multimodal.decode_real`` — those
-genuinely need codec libraries; routing, schema and batch flow are
-shared with the real paths here, so a codec drop-in touches nothing
-upstream.
+``ops.gif`` decodes GIF87a/89a (LZW, palettes, interlace, multi-frame
+compositing), and ``ops.mjpeg`` demuxes MJPEG tracks out of MP4
+sample tables, so video FRAMES decode for real too when the track is
+Motion-JPEG. Only compressed-codec frames (H.264/H.265/VP9/AV1)
+remain behind ``NotImplementedError`` in
+``ops.multimodal.decode_real`` — those genuinely need codec
+libraries; routing, schema and batch flow are shared with the real
+paths here, so a codec drop-in touches nothing upstream.
 
 Unfiltering stays vectorized where the recurrence allows: Sub is an
 exact per-lane ``cumsum`` mod 256, Up is one whole-row add, None is a
@@ -87,39 +91,44 @@ def _png_chunks(blob: bytes):
             return
 
 
-def _unfilter(raw: np.ndarray, height: int, width: int, bpp: int) -> np.ndarray:
+def _unfilter(raw: np.ndarray, height: int, stride: int, fbpp: int) -> np.ndarray:
     """Invert PNG scanline filtering: raw = height rows of
-    (1 filter byte + width*bpp data bytes) → (height, width*bpp) uint8."""
-    stride = width * bpp
+    (1 filter byte + stride data bytes) → (height, stride) uint8.
+
+    ``fbpp`` is the spec's filter delta, max(1, ceil(bits_per_pixel/8)):
+    sub-8-bit rows filter byte-at-a-time (fbpp=1), 16-bit rows filter
+    at 2 bytes per sample lane. ``stride`` is always a multiple of
+    ``fbpp`` (for fbpp>1 the row is whole pixels; for fbpp=1 trivially)."""
     rows = raw.reshape(height, 1 + stride)
     ftypes = rows[:, 0]
     data = rows[:, 1:].astype(np.int32)
     out = np.zeros((height, stride), dtype=np.int32)
     prior = np.zeros(stride, dtype=np.int32)
+    npix = stride // fbpp
     for y in range(height):
         f = int(ftypes[y])
         row = data[y]
         if f == 0:  # None
             rec = row.copy()
-        elif f == 1:  # Sub: rec[x] = row[x] + rec[x-bpp]
+        elif f == 1:  # Sub: rec[x] = row[x] + rec[x-fbpp]
             # per-lane prefix sum; mod distributes over addition
-            rec = np.cumsum(row.reshape(width, bpp), axis=0) % 256
+            rec = np.cumsum(row.reshape(npix, fbpp), axis=0) % 256
             rec = rec.reshape(stride)
         elif f == 2:  # Up
             rec = (row + prior) % 256
         elif f == 3:  # Average
             rec = np.empty(stride, dtype=np.int32)
-            left = np.zeros(bpp, dtype=np.int32)
-            for x in range(width):
-                s = slice(x * bpp, (x + 1) * bpp)
+            left = np.zeros(fbpp, dtype=np.int32)
+            for x in range(npix):
+                s = slice(x * fbpp, (x + 1) * fbpp)
                 left = (row[s] + (left + prior[s]) // 2) % 256
                 rec[s] = left
         elif f == 4:  # Paeth
             rec = np.empty(stride, dtype=np.int32)
-            left = np.zeros(bpp, dtype=np.int32)
-            upleft = np.zeros(bpp, dtype=np.int32)
-            for x in range(width):
-                s = slice(x * bpp, (x + 1) * bpp)
+            left = np.zeros(fbpp, dtype=np.int32)
+            upleft = np.zeros(fbpp, dtype=np.int32)
+            for x in range(npix):
+                s = slice(x * fbpp, (x + 1) * fbpp)
                 up = prior[s]
                 p = left + up - upleft
                 pa, pb, pc = (
@@ -142,67 +151,159 @@ def _unfilter(raw: np.ndarray, height: int, width: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(blob: bytes) -> np.ndarray:
-    """Full PNG pixel decode → (height, width, channels) uint8.
+# valid bit depths per color type (W3C PNG spec §11.2.2, table 11.1)
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
-    Bit depth 8, color types 0/2/3/4/6, non-interlaced. Indexed
-    (palette) images resolve through PLTE — plus tRNS alpha when
-    present — to (H, W, 3) or (H, W, 4). Raises
-    ``UnsupportedMediaError`` for valid-but-uncovered PNGs (sub-8-bit
-    or 16-bit depth, Adam7) and ``ValueError`` for malformed bytes."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _scanline_stride(width: int, depth: int, channels: int) -> int:
+    """Bytes per scanline (excluding the filter byte): packed bits
+    round up to a whole byte per row (spec §7.2)."""
+    return (width * depth * channels + 7) // 8
+
+
+def _decode_rows(
+    raw: np.ndarray, height: int, width: int, depth: int, channels: int
+) -> np.ndarray:
+    """Unfilter + unpack one (sub)image's raw scanlines →
+    (height, width, channels) samples: uint8 for depth ≤ 8 (sub-8-bit
+    values NOT yet rescaled — they stay in [0, 2**depth)), uint16 for
+    depth 16. ``raw`` must be exactly height*(1+stride) bytes."""
+    fbpp = max(1, depth * channels // 8)
+    stride = _scanline_stride(width, depth, channels)
+    rows = _unfilter(raw, height, stride, fbpp)  # (H, stride) uint8
+    if depth == 8:
+        return rows.reshape(height, width, channels)
+    if depth == 16:
+        a = np.ascontiguousarray(rows).view(">u2").astype(np.uint16)
+        return a.reshape(height, width, channels)
+    # depth 1/2/4: always 1 sample per pixel (gray or palette index)
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    vals = bits.reshape(height, width, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint8)[:, :, None]
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Full PNG pixel decode → (height, width, channels) array.
+
+    Covers the whole storage matrix of the spec: bit depths 1/2/4/8/16,
+    color types 0 (gray), 2 (RGB), 3 (indexed), 4 (gray+alpha),
+    6 (RGBA), interlace methods 0 (none) and 1 (Adam7). Indexed images
+    resolve through PLTE — plus tRNS alpha when present — to (H, W, 3)
+    or (H, W, 4); gray/truecolor tRNS color keys become an alpha
+    channel. Sub-8-bit gray rescales to the full 0-255 range (spec
+    §12.5 sample depth scaling: ×255/(2**depth−1), exact for 1/2/4).
+    Returns uint8 for depth ≤ 8, uint16 for depth 16. Raises
+    ``UnsupportedMediaError`` only for nonstandard interlace methods
+    and ``ValueError`` for malformed bytes."""
     if not blob.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     width = height = None
-    bpp = None
-    color_type = None
-    palette = trns = None
+    depth = color_type = interlace = None
+    channels = None
+    palette = None
+    trns_raw = None
     idat = []
     for tag, payload in _png_chunks(blob):
         if tag == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", payload)
             )
-            if depth != 8:
-                raise UnsupportedMediaError(f"PNG bit depth {depth} (only 8)")
-            if color_type != 3 and color_type not in _CHANNELS:
-                raise UnsupportedMediaError(f"PNG color type {color_type}")
-            if interlace != 0:
-                raise UnsupportedMediaError("interlaced PNG (Adam7)")
+            if color_type not in _VALID_DEPTHS:
+                raise ValueError(f"invalid PNG color type {color_type}")
+            if depth not in _VALID_DEPTHS[color_type]:
+                raise ValueError(
+                    f"invalid PNG depth {depth} for color type {color_type}"
+                )
+            if interlace not in (0, 1):
+                raise UnsupportedMediaError(
+                    f"nonstandard PNG interlace method {interlace}"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
-            bpp = 1 if color_type == 3 else _CHANNELS[color_type]
+            channels = 1 if color_type == 3 else _CHANNELS[color_type]
         elif tag == b"PLTE":
             if len(payload) % 3 or not payload:
                 raise ValueError("PLTE length not a multiple of 3")
             palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
-            trns = np.frombuffer(payload, dtype=np.uint8)
+            trns_raw = payload
         elif tag == b"IDAT":
             idat.append(payload)
-    if width is None or bpp is None:
+    if width is None or channels is None:
         raise ValueError("PNG missing IHDR")
     if width == 0 or height == 0:
         raise ValueError("PNG with zero dimension")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    expect = height * (1 + width * bpp)
-    if raw.size != expect:
-        raise ValueError(
-            f"PNG pixel data is {raw.size} bytes, expected {expect}"
-        )
-    px = _unfilter(raw, height, width, bpp).reshape(height, width, bpp)
-    if color_type != 3:
-        return px
-    if palette is None:
-        raise ValueError("palette PNG missing PLTE")
-    idx = px[:, :, 0]
-    if int(idx.max()) >= len(palette):
-        raise ValueError("palette index out of range")
-    rgb = palette[idx]  # (H, W, 3)
-    if trns is None:
-        return rgb
-    alpha = np.full(len(palette), 255, dtype=np.uint8)
-    alpha[: min(len(trns), len(palette))] = trns[: len(palette)]
-    return np.concatenate([rgb, alpha[idx][:, :, None]], axis=-1)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        expect = height * (1 + _scanline_stride(width, depth, channels))
+        if raw.size != expect:
+            raise ValueError(
+                f"PNG pixel data is {raw.size} bytes, expected {expect}"
+            )
+        px = _decode_rows(raw, height, width, depth, channels)
+    else:  # Adam7: 7 independently-filtered sub-images, fixed grid
+        px = np.zeros((height, width, channels), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            nbytes = hp * (1 + _scanline_stride(wp, depth, channels))
+            if pos + nbytes > raw.size:
+                raise ValueError("Adam7 pass overruns PNG pixel data")
+            px[y0::dy, x0::dx] = _decode_rows(
+                raw[pos : pos + nbytes], hp, wp, depth, channels
+            )
+            pos += nbytes
+        if pos != raw.size:
+            raise ValueError(
+                f"PNG pixel data is {raw.size} bytes, Adam7 expects {pos}"
+            )
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[idx]  # (H, W, 3)
+        if trns_raw is None:
+            return rgb
+        trns = np.frombuffer(trns_raw, dtype=np.uint8)
+        alpha = np.full(len(palette), 255, dtype=np.uint8)
+        alpha[: min(len(trns), len(palette))] = trns[: len(palette)]
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=-1)
+    # gray/truecolor tRNS: a single color key in SOURCE depth, 2 bytes
+    # per sample (spec §11.3.2) — matching pixels become fully
+    # transparent BEFORE sub-8 rescaling changes the sample values
+    alpha_plane = None
+    if trns_raw is not None and color_type in (0, 2):
+        key = np.frombuffer(trns_raw, dtype=">u2").astype(px.dtype)
+        if key.size != channels:
+            raise ValueError("tRNS color key length mismatch")
+        opaque = dtype(65535 if depth == 16 else 255)
+        matches = (px == key.reshape(1, 1, channels)).all(axis=2)
+        alpha_plane = np.where(matches, dtype(0), opaque)[:, :, None]
+    if color_type == 0 and depth < 8:
+        # exact spec §12.5 scaling: 255/(2**depth-1) is an integer
+        px = px * np.uint8(255 // ((1 << depth) - 1))
+    if alpha_plane is not None:
+        return np.concatenate([px, alpha_plane], axis=-1)
+    return px
 
 
 def _filter_rows(px2d: np.ndarray, width: int, bpp: int, filters) -> bytes:
@@ -249,19 +350,86 @@ def _filter_rows(px2d: np.ndarray, width: int, bpp: int, filters) -> bytes:
     return bytes(out)
 
 
-def encode_png(pixels: np.ndarray, filters=(0, 1, 2, 3, 4)) -> bytes:
-    """Encode (H, W, C) uint8 → a complete valid PNG. ``filters`` is
-    cycled per scanline (default exercises every filter type), letting
-    fixtures and round-trip tests cover the whole unfilter matrix."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    height, width, bpp = px.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(bpp)
-    if color_type is None:
-        raise ValueError(f"unsupported channel count {bpp}")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    raw = _filter_rows(px.reshape(height, width * bpp), width, bpp, filters)
+def _encode_rows(samples: np.ndarray, depth: int, filters) -> bytes:
+    """(H, W, C) samples → filtered raw scanline stream for one
+    (sub)image: pack to scanline bytes (big-endian for 16, MSB-first
+    bit packing below 8, zero row padding per spec §7.2), then apply
+    the cycled per-row filters."""
+    height, width, channels = samples.shape
+    if depth == 16:
+        b = (
+            np.ascontiguousarray(samples.astype(">u2"))
+            .view(np.uint8)
+            .reshape(height, width * channels * 2)
+        )
+    elif depth == 8:
+        b = samples.astype(np.uint8).reshape(height, width * channels)
+    else:
+        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        bits = (samples[:, :, 0, None].astype(np.uint8) >> shifts) & 1
+        b = np.packbits(bits.reshape(height, width * depth), axis=1)
+    fbpp = max(1, depth * channels // 8)
+    return _filter_rows(b, width, fbpp, filters)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filters=(0, 1, 2, 3, 4),
+    depth: int = 8,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """Encode samples → a complete valid PNG across the full storage
+    matrix the decoder covers. ``filters`` is cycled per scanline
+    (default exercises every filter type), letting fixtures and
+    round-trip tests cover the whole unfilter matrix.
+
+    - default: (H, W[, C]) uint8/uint16 direct color, ``depth`` 8/16.
+    - ``palette``: (N, 3) uint8 entries; ``pixels`` are (H, W) indices,
+      ``depth`` 1/2/4/8, optional ``trns`` alpha bytes.
+    - ``depth`` < 8 without palette: grayscale, ``pixels`` are RAW
+      samples in [0, 2**depth) (the decoder rescales to 0-255).
+    - ``trns`` without palette: a gray/truecolor color key, one
+      big-endian u16 per channel (source-depth sample values).
+    - ``interlace=1``: Adam7 pass-split, each pass filtered alone."""
+    if palette is not None:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette PNG depth {depth} invalid")
+        color_type = 3
+        idx = np.asarray(pixels)
+        if idx.ndim == 3:
+            idx = idx[:, :, 0]
+        samples = idx.astype(np.uint16)[:, :, None]
+        pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    else:
+        px = np.asarray(pixels)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if depth < 8:
+            if px.shape[2] != 1:
+                raise ValueError("sub-8-bit PNG is grayscale-only")
+            color_type = 0
+        else:
+            color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(px.shape[2])
+            if color_type is None:
+                raise ValueError(f"unsupported channel count {px.shape[2]}")
+        samples = px.astype(np.uint16)
+    height, width, channels = samples.shape
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, interlace
+    )
+    if interlace == 0:
+        raw = _encode_rows(samples, depth, filters)
+    elif interlace == 1:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_encode_rows(sub, depth, filters))
+        raw = b"".join(parts)
+    else:
+        raise ValueError(f"unknown interlace method {interlace}")
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -271,24 +439,60 @@ def encode_png(pixels: np.ndarray, filters=(0, 1, 2, 3, 4)) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    return (
-        PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
-    )
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 # ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------
 
-def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV decode → ((n_samples, channels) int16, sample_rate).
+def _alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear int16, the standard expansion
+    (CCITT g711 reference algorithm), computed vectorized: XOR 0x55,
+    4-bit mantissa, 3-bit segment, sign in bit 7 (set = positive)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    base = t + 0x108
+    mag = np.where(
+        seg == 0, t + 8, np.where(seg == 1, base, base << np.maximum(seg - 1, 0))
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
 
-    16-bit PCM is viewed zero-copy; 8-bit PCM (unsigned per the spec)
-    is recentred to int16. Compressed formats raise
-    ``UnsupportedMediaError``."""
+
+def _ulaw_table() -> np.ndarray:
+    """ITU-T G.711 µ-law byte → linear int16 (bias 0x84, complemented
+    code word, sign in bit 7 of the complement = negative)."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+_ALAW = _alaw_table()
+_ULAW = _ulaw_table()
+
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (Data2..Data4 of the
+# KSDATAFORMAT_SUBTYPE_* family); Data1's low u16 carries the real tag
+_WAVE_EXT_GUID_TAIL = bytes.fromhex("000000000010800000aa00389b71")
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """WAV decode → ((n_samples, channels) int16, sample_rate).
+
+    Covers the common storage formats: integer PCM at 8 (unsigned,
+    recentred), 16 (zero-copy view), 24 (sign-extended, top 16 bits
+    kept) and 32 bits (top 16 bits kept); IEEE float 32/64 (format
+    tag 3, clipped to ±1 then scaled); ITU-T G.711 A-law (tag 6) and
+    µ-law (tag 7) via vectorized expansion tables; and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE), which unwraps to any of the
+    above through its SubFormat GUID. Everything converges on the
+    int16 contract. Genuinely compressed codecs (ADPCM, MP3-in-WAV)
+    raise ``UnsupportedMediaError``."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -307,23 +511,63 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt != 1:
-        raise UnsupportedMediaError(f"WAV format tag {audio_fmt} (only PCM)")
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: tag in SubFormat
+        if len(fmt) < 40:
+            raise ValueError("extensible WAV fmt chunk too short")
+        if fmt[26:40] != _WAVE_EXT_GUID_TAIL:
+            raise UnsupportedMediaError("extensible WAV with vendor SubFormat")
+        (audio_fmt,) = struct.unpack_from("<H", fmt, 24)
     if channels < 1:
         raise ValueError("WAV with zero channels")
-    if bits == 16:
-        flat = np.frombuffer(
-            data[: len(data) - len(data) % (2 * channels)], dtype="<i2"
-        ).astype(np.int16)
-    elif bits == 8:
-        flat = (
-            np.frombuffer(
-                data[: len(data) - len(data) % channels], dtype=np.uint8
+
+    def trim(unit: int) -> bytes:
+        frame = unit * channels
+        return data[: len(data) - len(data) % frame]
+
+    if audio_fmt == 1:  # integer PCM
+        if bits == 16:
+            flat = np.frombuffer(trim(2), dtype="<i2").astype(np.int16)
+        elif bits == 8:
+            flat = (
+                np.frombuffer(trim(1), dtype=np.uint8).astype(np.int16) - 128
+            ) * 256
+        elif bits == 24:
+            b = np.frombuffer(trim(3), dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v -= (v >> 23) << 24  # sign-extend bit 23
+            flat = (v >> 8).astype(np.int16)
+        elif bits == 32:
+            flat = (
+                np.frombuffer(trim(4), dtype="<i4") >> 16
             ).astype(np.int16)
-            - 128
-        ) * 256
+        else:
+            raise UnsupportedMediaError(
+                f"WAV PCM bit depth {bits} (8/16/24/32)"
+            )
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(trim(4), dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(trim(8), dtype="<f8").astype(np.float64)
+        else:
+            raise UnsupportedMediaError(f"WAV float bit depth {bits} (32/64)")
+        flat = np.rint(np.clip(f, -1.0, 1.0) * 32767).astype(np.int16)
+    elif audio_fmt == 6:  # G.711 A-law
+        if bits != 8:
+            raise UnsupportedMediaError(f"A-law WAV bit depth {bits} (8)")
+        flat = _ALAW[np.frombuffer(trim(1), dtype=np.uint8)]
+    elif audio_fmt == 7:  # G.711 µ-law
+        if bits != 8:
+            raise UnsupportedMediaError(f"µ-law WAV bit depth {bits} (8)")
+        flat = _ULAW[np.frombuffer(trim(1), dtype=np.uint8)]
     else:
-        raise UnsupportedMediaError(f"WAV bit depth {bits} (only 8/16 PCM)")
+        raise UnsupportedMediaError(
+            f"WAV format tag {audio_fmt} (PCM/float/G.711 only)"
+        )
     return flat.reshape(-1, channels), rate
 
 
@@ -437,11 +681,13 @@ _PCM_SCHEMA = StructType(
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """(id, payload binary) → (id, width, height, channels, px_mean,
     px_std, px_min, px_max) by REAL pixel decode — PNG (stdlib zlib +
-    numpy unfiltering) or baseline JPEG (ops.jpeg, numpy Huffman+IDCT),
-    routed by signature. Unrecognized / unsupported payloads yield
-    null stats. Arrow-batched ``mapInPandas``, payload dropped on
-    output — one scan, no shuffle, per-task memory bounded by the
-    Arrow batch of blobs."""
+    numpy unfiltering), baseline JPEG (ops.jpeg, numpy Huffman+IDCT)
+    or GIF (ops.gif, LZW + palette + compositing), routed by
+    signature. Unrecognized / unsupported payloads yield null stats.
+    Arrow-batched ``mapInPandas``, payload dropped on output — one
+    scan, no shuffle, per-task memory bounded by the Arrow batch of
+    blobs."""
+    from lucene_spark.ops.gif import decode_gif
     from lucene_spark.ops.jpeg import decode_baseline_jpeg
 
     def kernel(batches):
@@ -454,6 +700,8 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                     raw = bytes(blob)
                     if raw[:2] == b"\xff\xd8":
                         px = decode_baseline_jpeg(raw)
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        px = decode_gif(raw)
                     else:
                         px = decode_png(raw)
                 except (ValueError, zlib.error, struct.error, IndexError):

@@ -174,15 +174,21 @@ def parse_mp4_header(blob: bytes) -> tuple[int, int] | None:
 
 
 def parse_image_header(blob: bytes) -> tuple[str, int, int, int] | None:
-    """(format, width, height, channels) for PNG or JPEG bytes, None for
-    anything else. The dispatch is by magic bytes — cheap enough to run
-    per-blob inside an Arrow batch kernel."""
+    """(format, width, height, channels) for PNG, JPEG or GIF bytes,
+    None for anything else. The dispatch is by magic bytes — cheap
+    enough to run per-blob inside an Arrow batch kernel."""
     png = parse_png_header(blob)
     if png is not None:
         return ("png",) + png
     jpg = parse_jpeg_header(blob)
     if jpg is not None:
         return ("jpeg",) + jpg
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from lucene_spark.ops.gif import parse_gif_header
+
+        gif = parse_gif_header(blob)
+        if gif is not None:
+            return ("gif",) + gif
     return None
 
 

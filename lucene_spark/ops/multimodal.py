@@ -87,17 +87,17 @@ def decode_stub(blob: bytes) -> np.ndarray:
 def decode_real(blob: bytes, media_type: str) -> np.ndarray:
     """Real decode → FEATURE_DIM float64 feature vector.
 
-    PNG, WAV, baseline JPEG and MJPEG-MP4 payloads are ACTUALLY
-    decoded (ops.media_decode / ops.jpeg / ops.mjpeg — stdlib
-    zlib/struct + numpy, no media libraries): PNG/JPEG → [width,
-    height, channels, pixel mean, pixel std, min, max, n_bytes]; WAV →
-    [sample_rate, channels, n_samples, rms, peak, duration_ms, 0,
-    n_bytes]; MJPEG MP4 → [width, height, channels, frame-0 mean,
-    frame-0 std, n_frames, 0, n_bytes]. Only compressed-codec video
-    frames (H.264/H.265/VP9/AV1) still raise ``NotImplementedError`` —
-    those genuinely require codec libraries absent from this
-    container; a codec drop-in slots into the same routing without
-    touching the pipeline.
+    PNG, WAV, baseline JPEG, GIF and MJPEG-MP4 payloads are ACTUALLY
+    decoded (ops.media_decode / ops.jpeg / ops.gif / ops.mjpeg —
+    stdlib zlib/struct + numpy, no media libraries): PNG/JPEG →
+    [width, height, channels, pixel mean, pixel std, min, max,
+    n_bytes]; WAV → [sample_rate, channels, n_samples, rms, peak,
+    duration_ms, 0, n_bytes]; GIF and MJPEG MP4 (frame sequences) →
+    [width, height, channels, frame-0 mean, frame-0 std, n_frames, 0,
+    n_bytes]. Only compressed-codec video frames (H.264/H.265/VP9/AV1)
+    still raise ``NotImplementedError`` — those genuinely require
+    codec libraries absent from this container; a codec drop-in slots
+    into the same routing without touching the pipeline.
     """
     from lucene_spark.ops.media_decode import decode_png, decode_wav
 
@@ -130,6 +130,17 @@ def decode_real(blob: bytes, media_type: str) -> np.ndarray:
             [w, h, c, f.mean(), f.std(), px.min(), px.max(), len(blob)],
             dtype=np.float64,
         )
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from lucene_spark.ops.gif import decode_gif, gif_frame_count
+
+        px = decode_gif(blob)
+        h, w, c = px.shape
+        f = px.astype(np.float64)
+        return np.array(
+            [w, h, c, f.mean(), f.std(), gif_frame_count(blob), 0.0,
+             len(blob)],
+            dtype=np.float64,
+        )
     if blob[4:8] == b"ftyp":
         from lucene_spark.ops.jpeg import decode_baseline_jpeg
         from lucene_spark.ops.mjpeg import demux_mjpeg_frames
@@ -150,9 +161,9 @@ def decode_real(blob: bytes, media_type: str) -> np.ndarray:
         )
     raise NotImplementedError(
         f"{media_type}: unrecognized payload; PNG/WAV/baseline-JPEG/"
-        "MJPEG-MP4 decode is real (ops.media_decode, ops.jpeg, "
-        "ops.mjpeg), decode_stub remains the deterministic fallback "
-        "for codec-bound formats (H.264/H.265/VP9/AV1 frames)"
+        "GIF/MJPEG-MP4 decode is real (ops.media_decode, ops.jpeg, "
+        "ops.gif, ops.mjpeg), decode_stub remains the deterministic "
+        "fallback for codec-bound formats (H.264/H.265/VP9/AV1 frames)"
     )
 
 

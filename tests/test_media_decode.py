@@ -120,14 +120,151 @@ def test_multi_idat_chunks_concatenate():
 
 # --- rejections ---
 
-def test_rejects_unsupported_pngs():
+def test_rejects_invalid_depth_color_combos():
+    # spec table 11.1: these (depth, color type) pairs are illegal
     raw = bytes([0, 1, 2])
+    with pytest.raises(ValueError):
+        decode_png(_png(2, 1, 2, raw, depth=4))  # sub-8 truecolor
+    with pytest.raises(ValueError):
+        decode_png(_png(2, 1, 3, raw, depth=16))  # 16-bit palette
+    with pytest.raises(ValueError):
+        decode_png(_png(2, 1, 4, raw, depth=2))  # sub-8 gray+alpha
     with pytest.raises(UnsupportedMediaError):
-        decode_png(_png(2, 1, 3, raw, depth=4))  # sub-8-bit palette
-    with pytest.raises(UnsupportedMediaError):
-        decode_png(_png(2, 1, 0, raw, depth=16))
-    with pytest.raises(UnsupportedMediaError):
-        decode_png(_png(2, 1, 0, raw, interlace=1))
+        decode_png(_png(2, 1, 0, raw, interlace=2))  # nonstandard
+
+
+# --- bit depths beyond 8 (hand vectors first, then round trips) ---
+
+def test_gray16_hand_vector():
+    # filter 0, big-endian u16 samples straight from the spec layout
+    raw = bytes([0, 0x01, 0x02, 0xFF, 0x00])
+    px = decode_png(_png(2, 1, 0, raw, depth=16))
+    assert px.dtype == np.uint16
+    assert px.reshape(-1).tolist() == [0x0102, 0xFF00]
+
+
+def test_sub_filter_16bit_acts_on_bytes():
+    # PNG filters are BYTE-level with a 2-byte delta at depth 16:
+    # px1 bytes = px0 bytes + raw bytes, per byte lane mod 256
+    raw = bytes([1, 0x01, 0xFF, 0x00, 0x02])
+    px = decode_png(_png(2, 1, 0, raw, depth=16))
+    assert px.reshape(-1).tolist() == [0x01FF, 0x0101]  # 0xFF+0x02 = 0x101
+
+
+def test_gray1_hand_vector_with_row_padding():
+    # width 10 crosses a byte boundary: MSB-first bits, zero pad bits
+    raw = bytes([0, 0b10101010, 0b10000000])
+    px = decode_png(_png(10, 1, 0, raw, depth=1))
+    assert px.reshape(-1).tolist() == [255, 0] * 5  # scaled x255
+
+
+def test_gray2_and_gray4_scaling():
+    raw = bytes([0, 0b01101100])  # samples 1, 2, 3 at depth 2
+    px = decode_png(_png(3, 1, 0, raw, depth=2))
+    assert px.reshape(-1).tolist() == [85, 170, 255]  # x85 exact
+    raw = bytes([0, 0x12, 0x30])  # samples 1, 2, 3 at depth 4
+    px = decode_png(_png(3, 1, 0, raw, depth=4))
+    assert px.reshape(-1).tolist() == [17, 34, 51]  # x17 exact
+
+
+def test_palette4_hand_vector():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    raw = bytes([0, 0x12, 0x30])  # indices 1, 2, 3 packed 4-bit
+    blob = (
+        PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    px = decode_png(blob)
+    assert px[0].tolist() == [[0, 255, 0], [0, 0, 255], [9, 9, 9]]
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_roundtrip_16bit(channels):
+    rng = np.random.default_rng(channels)
+    px = rng.integers(0, 65536, size=(9, 7, channels), dtype=np.uint16)
+    got = decode_png(encode_png(px, depth=16))
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, px)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_roundtrip_sub8_gray(depth):
+    rng = np.random.default_rng(depth)
+    samples = rng.integers(0, 1 << depth, size=(11, 13), dtype=np.uint8)
+    got = decode_png(encode_png(samples, depth=depth))
+    assert np.array_equal(got[:, :, 0], samples * (255 // ((1 << depth) - 1)))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_roundtrip_sub8_palette(depth):
+    rng = np.random.default_rng(depth + 10)
+    pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+    idx = rng.integers(0, 1 << depth, size=(10, 9), dtype=np.uint8)
+    got = decode_png(encode_png(idx, depth=depth, palette=pal))
+    assert np.array_equal(got, pal[idx])
+
+
+# --- Adam7 interlacing ---
+
+def test_adam7_hand_vector():
+    # 4x4 gray8, v[y][x] = 16y + x; the seven passes reduce to:
+    # p1 -> (0,0); p4 -> (0,2); p5 -> (2,0),(2,2);
+    # p6 -> (0,1),(0,3),(2,1),(2,3); p7 -> rows 1 and 3 whole
+    raw = bytes(
+        [0, 0]                      # pass 1
+        + [0, 2]                    # pass 4
+        + [0, 32, 34]               # pass 5
+        + [0, 1, 3, 0, 33, 35]      # pass 6
+        + [0, 16, 17, 18, 19, 0, 48, 49, 50, 51]  # pass 7
+    )
+    px = decode_png(_png(4, 4, 0, raw, interlace=1))
+    want = np.arange(4)[:, None] * 16 + np.arange(4)[None, :]
+    assert np.array_equal(px[:, :, 0], want)
+
+
+@pytest.mark.parametrize("depth,channels", [(8, 3), (16, 4), (4, 1), (1, 1)])
+def test_adam7_roundtrip(depth, channels):
+    rng = np.random.default_rng(depth * 10 + channels)
+    if depth < 8:
+        samples = rng.integers(0, 1 << depth, size=(13, 17), dtype=np.uint8)
+        got = decode_png(encode_png(samples, depth=depth, interlace=1))
+        scale = 255 // ((1 << depth) - 1)
+        assert np.array_equal(got[:, :, 0], samples * scale)
+    else:
+        dt = np.uint16 if depth == 16 else np.uint8
+        px = rng.integers(0, 1 << depth, size=(13, 17, channels)).astype(dt)
+        assert np.array_equal(decode_png(encode_png(px, depth=depth,
+                                                    interlace=1)), px)
+
+
+def test_adam7_tiny_canvases_skip_empty_passes():
+    rng = np.random.default_rng(7)
+    for h in range(1, 6):
+        for w in range(1, 6):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got = decode_png(encode_png(px, interlace=1))
+            assert np.array_equal(got, px), (h, w)
+
+
+# --- gray/truecolor tRNS color keys ---
+
+def test_trns_color_key_gray_and_rgb():
+    px = np.array([[[5], [9]], [[9], [5]]], dtype=np.uint8)
+    got = decode_png(encode_png(px, trns=struct.pack(">H", 9)))
+    assert got.shape == (2, 2, 2)
+    assert got[:, :, 1].tolist() == [[255, 0], [0, 255]]
+    rgb = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    got = decode_png(encode_png(rgb, trns=struct.pack(">HHH", 4, 5, 6)))
+    assert got.shape == (1, 2, 4)
+    assert got[0, 0, 3] == 255 and got[0, 1, 3] == 0
+
+
+def test_trns_color_key_16bit():
+    px = np.array([[[300], [64000]]], dtype=np.uint16)
+    got = decode_png(encode_png(px, depth=16, trns=struct.pack(">H", 300)))
+    assert got.dtype == np.uint16
+    assert got[0, 0, 1] == 0 and got[0, 1, 1] == 65535
 
 
 # --- indexed (palette) PNGs, chunks built straight from the spec ---
@@ -213,14 +350,79 @@ def test_wav_pcm8_recentred():
     assert samples.reshape(-1).tolist() == [-32768, 0, 32512]
 
 
-def test_wav_rejects_non_pcm():
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+def _wav(fmt_tag, channels, rate, bits, data, fmt_extra=b""):
+    """WAV bytes straight from the RIFF spec — no synth_wav involved."""
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    ) + fmt_extra
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(UnsupportedMediaError):
-        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_rejects_compressed_codecs():
+    with pytest.raises(UnsupportedMediaError):  # IMA ADPCM
+        decode_wav(_wav(0x11, 1, 8000, 4, b"\x00" * 8))
+    with pytest.raises(UnsupportedMediaError):  # MP3-in-WAV
+        decode_wav(_wav(0x55, 2, 44100, 0, b"\x00" * 8))
     with pytest.raises(ValueError):
         decode_wav(synth_jpeg(1))
+
+
+def test_wav_pcm24_sign_extension():
+    # 0x000001 -> 0; 0x010000 -> 256; 0x800000 -> -32768; 0xFFFFFF -> -1
+    data = bytes([1, 0, 0, 0, 0, 1, 0, 0, 0x80, 0xFF, 0xFF, 0xFF])
+    samples, rate = decode_wav(_wav(1, 1, 8000, 24, data))
+    assert rate == 8000
+    assert samples[:, 0].tolist() == [0, 256, -32768, -1]
+
+
+def test_wav_pcm32_top_bits():
+    data = np.array(
+        [1 << 16, -(1 << 31), (1 << 31) - 1, -65536], dtype="<i4"
+    ).tobytes()
+    samples, _ = decode_wav(_wav(1, 2, 44100, 32, data))
+    assert samples.reshape(-1).tolist() == [1, -32768, 32767, -1]
+
+
+def test_wav_ieee_float_clips_and_scales():
+    data = np.array([0.0, 1.0, -1.0, 0.5, 2.5, -3.0], dtype="<f4").tobytes()
+    samples, _ = decode_wav(_wav(3, 1, 16000, 32, data))
+    assert samples[:, 0].tolist() == [0, 32767, -32767, 16384, 32767, -32767]
+    data64 = np.array([0.25, -0.25], dtype="<f8").tobytes()
+    samples, _ = decode_wav(_wav(3, 1, 16000, 64, data64))
+    assert samples[:, 0].tolist() == [8192, -8192]
+
+
+def test_wav_g711_known_table_values():
+    # CCITT g711.c reference endpoints: µ-law 0x00 -> -32124 (max
+    # negative), 0x80 -> +32124, 0xFF/0x7F -> the two zeros;
+    # A-law 0x55 -> -8 (min magnitude), 0x2A -> -32256 (max)
+    samples, _ = decode_wav(_wav(7, 1, 8000, 8, bytes([0x00, 0x80, 0xFF, 0x7F])))
+    assert samples[:, 0].tolist() == [-32124, 32124, 0, 0]
+    samples, _ = decode_wav(_wav(6, 1, 8000, 8, bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    assert samples[:, 0].tolist() == [-8, 8, -32256, 32256]
+
+
+def test_wav_g711_tables_are_antisymmetric():
+    from lucene_spark.ops.media_decode import _ALAW, _ULAW
+
+    # flipping the sign bit negates the expansion exactly
+    assert np.array_equal(_ULAW[:128], -_ULAW[128:])
+    assert np.array_equal(_ALAW[:128], -_ALAW[128:])
+
+
+def test_wav_extensible_unwraps_and_vets_guid():
+    tail = bytes.fromhex("000000000010800000aa00389b71")
+    extra = struct.pack("<HHI", 22, 16, 0x3) + struct.pack("<H", 1) + tail
+    pcm = np.array([123, -456], dtype="<i2").tobytes()
+    samples, rate = decode_wav(_wav(0xFFFE, 1, 48000, 16, pcm, fmt_extra=extra))
+    assert rate == 48000 and samples[:, 0].tolist() == [123, -456]
+    # a vendor SubFormat GUID is a codec we can't claim to decode
+    bad = struct.pack("<HHI", 22, 16, 0x3) + struct.pack("<H", 1) + b"\x01" * 14
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(_wav(0xFFFE, 1, 48000, 16, pcm, fmt_extra=bad))
 
 
 def test_legacy_zeroed_wav_decodes():
