@@ -15,9 +15,10 @@ durations); this module decodes actual payloads:
   and both interlace methods (none + Adam7 7-pass).
 - **WAV**: RIFF chunk walk to the ``data`` chunk, then a zero-copy
   ``np.frombuffer`` view — integer PCM 8/16/24/32, IEEE float 32/64,
-  ITU-T G.711 A-law/µ-law (vectorized expansion tables), and
+  ITU-T G.711 A-law/µ-law (vectorized expansion tables), IMA/DVI
+  ADPCM (vectorized across blocks, fact-chunk trimmed), and
   WAVE_FORMAT_EXTENSIBLE unwrapping → (n_samples, channels) int16.
-  Only genuinely compressed codecs (ADPCM, MP3-in-WAV) raise
+  Remaining codec-bound formats (MS-ADPCM, MP3-in-WAV) raise
   ``UnsupportedMediaError`` (the Spark kernels map that to null rows,
   the same contract as an unrecognizable header).
 - **encode_png** — the inverse direction, used by fixtures and tests:
@@ -476,6 +477,148 @@ def _ulaw_table() -> np.ndarray:
 _ALAW = _alaw_table()
 _ULAW = _ulaw_table()
 
+# IMA/DVI ADPCM quantizer tables (IMA ADPCM reference algorithm)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_reconstruct(nib: np.ndarray, pred: np.ndarray, idx: np.ndarray):
+    """One IMA ADPCM step for an ARRAY of independent decoder states:
+    returns (new predictor, new step index). ``nib`` holds 4-bit codes;
+    all three arrays share a shape (the vectorized-over-blocks axis)."""
+    step = _IMA_STEPS[idx]
+    diff = (
+        (step >> 3)
+        + np.where(nib & 1, step >> 2, 0)
+        + np.where(nib & 2, step >> 1, 0)
+        + np.where(nib & 4, step, 0)
+    )
+    pred = np.clip(
+        pred + np.where(nib & 8, -diff, diff), -32768, 32767
+    )
+    idx = np.clip(idx + _IMA_INDEX_ADJ[nib & 7], 0, 88)
+    return pred, idx
+
+
+def decode_ima_adpcm(
+    data: bytes, channels: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """IMA/DVI ADPCM payload → (n_samples, channels) int16.
+
+    Each block carries a 4-byte header per channel (seed sample i16 +
+    step index) followed by nibble words interleaved 4 bytes per
+    channel, low nibble first. The recurrence is sequential WITHIN a
+    block but blocks are independent decoder restarts, so the kernel
+    vectorizes across (block, channel) states and loops only over the
+    ≤ samples_per_block positions — the same parallel-axis shape the
+    Spark kernels exploit (many blobs per Arrow batch)."""
+    header_bytes = 4 * channels
+    if block_align <= header_bytes or (block_align - header_bytes) % (
+        4 * channels
+    ):
+        raise ValueError(f"ADPCM block align {block_align} invalid")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros((0, channels), dtype=np.int16)
+    raw = np.frombuffer(
+        data[: nblocks * block_align], dtype=np.uint8
+    ).reshape(nblocks, block_align)
+    header = raw[:, :header_bytes].reshape(nblocks, channels, 4)
+    pred = header[:, :, 0].astype(np.int32) | (
+        header[:, :, 1].astype(np.int32) << 8
+    )
+    pred -= (pred >> 15) << 16  # sign-extend the seed sample
+    idx = header[:, :, 2].astype(np.int32)
+    if int(idx.max()) > 88:
+        raise ValueError("ADPCM step index out of range")
+    # body bytes → per-channel nibble streams: 4-byte words alternate
+    # channels; within a byte the LOW nibble is the earlier sample
+    words = raw[:, header_bytes:].reshape(nblocks, -1, channels, 4)
+    nib = np.stack([words & 0x0F, words >> 4], axis=-1).reshape(
+        nblocks, -1, channels, 8
+    )
+    nib = nib.transpose(0, 2, 1, 3).reshape(nblocks, channels, -1)
+    n_nib = min(nib.shape[2], samples_per_block - 1)
+    out = np.empty((nblocks, channels, 1 + n_nib), dtype=np.int16)
+    out[:, :, 0] = pred
+    for t in range(n_nib):  # sequential by definition; vector over blocks
+        pred, idx = _ima_reconstruct(nib[:, :, t].astype(np.int32), pred, idx)
+        out[:, :, t + 1] = pred
+    return out.transpose(0, 2, 1).reshape(-1, channels)
+
+
+def encode_ima_adpcm_wav(
+    samples: np.ndarray, rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Encode (n, channels) int16 → a complete IMA ADPCM WAV (format
+    tag 0x11 with the fact chunk) — the fixture/round-trip direction.
+    The encoder is the textbook quantizer: per nibble it subtracts the
+    running prediction, quantizes against the current step, then runs
+    the SAME reconstruction as the decoder so their states stay in
+    lockstep and the error per sample is bounded by the step size."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, channels = x.shape
+    if n == 0:
+        raise ValueError("cannot encode an empty signal")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block - 1 must be a multiple of 8")
+    block_align = 4 * channels + (samples_per_block - 1) * channels // 2
+    blocks = bytearray()
+    idx = np.zeros(channels, dtype=np.int32)
+    for start in range(0, n, samples_per_block):
+        chunk = x[start : start + samples_per_block].astype(np.int32)
+        if len(chunk) < samples_per_block:  # pad the tail block
+            chunk = np.vstack(
+                [chunk, np.repeat(chunk[-1:], samples_per_block - len(chunk), 0)]
+            )
+        pred = chunk[0].copy()
+        for c in range(channels):
+            blocks += struct.pack("<hBB", int(pred[c]), int(idx[c]), 0)
+        nibs = np.empty((samples_per_block - 1, channels), dtype=np.uint8)
+        for t in range(1, samples_per_block):
+            step = _IMA_STEPS[idx]
+            diff = chunk[t] - pred
+            sign = (diff < 0).astype(np.int32) * 8
+            mag = np.abs(diff)
+            code = np.zeros(channels, dtype=np.int32)
+            s = step.copy()
+            for bit in (4, 2, 1):
+                hit = mag >= s
+                code |= np.where(hit, bit, 0)
+                mag -= np.where(hit, s, 0)
+                s >>= 1
+            nib = (sign | code).astype(np.int32)
+            pred, idx = _ima_reconstruct(nib, pred, idx)
+            nibs[t - 1] = nib.astype(np.uint8)
+        # pack per channel in 4-byte words, low nibble first
+        per_ch = nibs.T.reshape(channels, -1, 8)  # (c, words, 8)
+        lo = per_ch[:, :, 0::2]
+        hi = per_ch[:, :, 1::2]
+        packed = (lo | (hi << 4)).astype(np.uint8)  # (c, words, 4)
+        blocks += packed.transpose(1, 0, 2).tobytes()  # alternate channels
+    byte_rate = rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, rate, byte_rate, block_align, 4, 2,
+        samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (Data2..Data4 of the
 # KSDATAFORMAT_SUBTYPE_* family); Data1's low u16 carries the real tag
 _WAVE_EXT_GUID_TAIL = bytes.fromhex("000000000010800000aa00389b71")
@@ -488,16 +631,18 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     recentred), 16 (zero-copy view), 24 (sign-extended, top 16 bits
     kept) and 32 bits (top 16 bits kept); IEEE float 32/64 (format
     tag 3, clipped to ±1 then scaled); ITU-T G.711 A-law (tag 6) and
-    µ-law (tag 7) via vectorized expansion tables; and
-    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE), which unwraps to any of the
-    above through its SubFormat GUID. Everything converges on the
-    int16 contract. Genuinely compressed codecs (ADPCM, MP3-in-WAV)
-    raise ``UnsupportedMediaError``."""
+    µ-law (tag 7) via vectorized expansion tables; IMA/DVI ADPCM
+    (tag 0x11, block-vectorized, trimmed to the fact-chunk sample
+    count); and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE), which unwraps to
+    any of the above through its SubFormat GUID. Everything converges
+    on the int16 contract. Remaining codec-bound formats (MS-ADPCM,
+    MP3-in-WAV) raise ``UnsupportedMediaError``."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     data = None
+    fact_samples = None
     n = len(blob)
     while pos + 8 <= n:
         tag = blob[pos : pos + 4]
@@ -507,6 +652,8 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -564,9 +711,19 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         if bits != 8:
             raise UnsupportedMediaError(f"µ-law WAV bit depth {bits} (8)")
         flat = _ULAW[np.frombuffer(trim(1), dtype=np.uint8)]
+    elif audio_fmt == 0x11:  # IMA/DVI ADPCM
+        (_, _, _, _, block_align, _) = struct.unpack_from("<HHIIHH", fmt, 0)
+        if len(fmt) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt, 18)
+        else:  # derive from the block geometry
+            spb = (block_align - 4 * channels) * 2 // channels + 1
+        frames = decode_ima_adpcm(data, channels, block_align, spb)
+        if fact_samples is not None:
+            frames = frames[:fact_samples]
+        return frames, rate
     else:
         raise UnsupportedMediaError(
-            f"WAV format tag {audio_fmt} (PCM/float/G.711 only)"
+            f"WAV format tag {audio_fmt} (PCM/float/G.711/IMA-ADPCM only)"
         )
     return flat.reshape(-1, channels), rate
 

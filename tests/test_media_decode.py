@@ -362,12 +362,88 @@ def _wav(fmt_tag, channels, rate, bits, data, fmt_extra=b""):
 
 
 def test_wav_rejects_compressed_codecs():
-    with pytest.raises(UnsupportedMediaError):  # IMA ADPCM
-        decode_wav(_wav(0x11, 1, 8000, 4, b"\x00" * 8))
     with pytest.raises(UnsupportedMediaError):  # MP3-in-WAV
         decode_wav(_wav(0x55, 2, 44100, 0, b"\x00" * 8))
+    with pytest.raises(UnsupportedMediaError):  # MS ADPCM (not IMA)
+        decode_wav(_wav(0x02, 1, 8000, 4, b"\x00" * 8))
     with pytest.raises(ValueError):
         decode_wav(synth_jpeg(1))
+
+
+def _ima_scalar_reference(data, channels, block_align, spb):
+    """Textbook per-sample IMA ADPCM decoder (pure Python loops) — an
+    independent check on the vectorized kernel."""
+    from lucene_spark.ops.media_decode import _IMA_STEPS, _IMA_INDEX_ADJ
+
+    out = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        preds, idxs, streams = [], [], []
+        for c in range(channels):
+            p, i = struct.unpack_from("<hB", block, 4 * c)[0], block[4 * c + 2]
+            preds.append(p)
+            idxs.append(i)
+            streams.append([])
+        body = block[4 * channels :]
+        for w in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                for byte in body[w + 4 * c : w + 4 * c + 4]:
+                    streams[c].append(byte & 0x0F)
+                    streams[c].append(byte >> 4)
+        rows = [[preds[c] for c in range(channels)]]
+        for t in range(spb - 1):
+            row = []
+            for c in range(channels):
+                nib = streams[c][t]
+                step = int(_IMA_STEPS[idxs[c]])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                if nib & 8:
+                    diff = -diff
+                preds[c] = max(-32768, min(32767, preds[c] + diff))
+                idxs[c] = max(0, min(88, idxs[c] + int(_IMA_INDEX_ADJ[nib & 7])))
+                row.append(preds[c])
+            rows.append(row)
+        out.extend(rows)
+    return np.array(out, dtype=np.int16)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_ima_adpcm_vectorized_matches_scalar(channels):
+    from lucene_spark.ops.media_decode import decode_ima_adpcm
+
+    rng = np.random.default_rng(channels)
+    spb = 33  # (spb-1) % 8 == 0
+    block_align = 4 * channels + (spb - 1) * channels // 2
+    data = bytes(rng.integers(0, 256, size=block_align * 5, dtype=np.uint8))
+    # clamp the header step indexes into range
+    data = bytearray(data)
+    for b in range(5):
+        for c in range(channels):
+            data[b * block_align + 4 * c + 2] %= 89
+    data = bytes(data)
+    got = decode_ima_adpcm(data, channels, block_align, spb)
+    want = _ima_scalar_reference(data, channels, block_align, spb)
+    assert np.array_equal(got, want)
+
+
+def test_wav_ima_adpcm_roundtrip_error_bounded():
+    from lucene_spark.ops.media_decode import encode_ima_adpcm_wav
+
+    # a band-limited signal: ADPCM tracks it within the step size
+    t = np.arange(4000, dtype=np.float64)
+    sig = (8000 * np.sin(t / 50) + 3000 * np.sin(t / 13)).astype(np.int16)
+    x = np.stack([sig, -sig], axis=1)
+    got, rate = decode_wav(encode_ima_adpcm_wav(x, 16000))
+    assert rate == 16000
+    assert got.shape == x.shape  # fact chunk trims the padded tail block
+    err = np.abs(got.astype(np.int32) - x.astype(np.int32))
+    assert err.mean() < 120 and err.max() < 2500, (err.mean(), err.max())
 
 
 def test_wav_pcm24_sign_extension():

@@ -1,5 +1,5 @@
 """Media-decode scale smoke: real PNG pixel + WAV PCM + baseline-JPEG
-decode as distributed Arrow-batched scans.
++ GIF decode as distributed Arrow-batched scans.
 
 Payloads are synthesized deterministically per id (ops.media_decode
 fixtures — real pixels, real samples, filter types cycled per row so
@@ -16,11 +16,12 @@ can't hand to the JVM); throughput scales with cores × batch flow,
 which is exactly what the two-level run in BASELINE §9 evidences for
 the rest of the engine.
 
-Usage: python tools/media_smoke.py [n_images] [n_wavs] [n_jpegs] [n_videos]
-(defaults 300_000 / 300_000 / n_images//3 / n_jpegs//4 — JPEG decode
-does real per-coefficient Huffman work, so its per-blob cost is
-higher by nature; each MJPEG video carries 2-6 JPEG frames). Prints
-one JSON line for BASELINE.md.
+Usage: python tools/media_smoke.py [n_images] [n_wavs] [n_jpegs]
+[n_videos] [n_gifs] (defaults 300_000 / 300_000 / n_images//3 /
+n_jpegs//4 / n_images//3 — JPEG decode does real per-coefficient
+Huffman work and GIF LZW is a per-code dictionary loop, so their
+per-blob cost is higher by nature; each MJPEG video carries 2-6 JPEG
+frames). Prints one JSON line for BASELINE.md.
 """
 
 from __future__ import annotations
@@ -203,6 +204,51 @@ def main():
         px = decode_baseline_jpeg(synth_jpeg_pixels(int(r["id"])))
         f = px.astype(np.float64)
         assert (r["height"], r["width"], r["channels"]) == px.shape, r
+        assert abs(r["px_mean"] - f.mean()) < 1e-9, r
+        assert abs(r["px_std"] - f.std()) < 1e-9, r
+
+    # --- GIF: LZW + palette + compositing --------------------------------
+    # fixtures cycle interlacing and add a transparent second frame on
+    # every third id; decode_image_pixels reports frame 0's composite,
+    # which is a full-canvas opaque plane -> dims/channels are pure
+    # formulas of the id, checked on EVERY row.
+    from lucene_spark.ops.gif import (
+        decode_gif,
+        fixture_gif_indices,
+        fixture_gif_palette,
+        synth_gif_pixels,
+    )
+
+    n_gif = int(sys.argv[5]) if len(sys.argv) > 5 else max(n_img // 3, 1)
+    _attach(spark.range(n_gif).repartition(4 * cpus), synth_gif_pixels) \
+        .write.parquet(d + "/gif", mode="overwrite")
+    gifs = spark.read.parquet(d + "/gif")
+    t0 = time.time()
+    gout = decode_image_pixels(gifs)
+    gbad = gout.where(
+        (F.col("height") != 2 + F.col("id") % 24)
+        | (F.col("width") != 2 + (F.col("id") * 5) % 24)
+        | (F.col("channels") != 3)  # frame 0 covers the canvas opaquely
+        | F.col("px_mean").isNull()
+        | (F.col("px_min") < 0)
+        | (F.col("px_max") > 250)  # palette entries are mod 251
+    ).count()
+    t_gif = time.time() - t0
+    assert gbad == 0, f"{gbad} GIF rows disagree with the closed form"
+    report["gif"] = {
+        "sec": round(t_gif, 1),
+        "gifs_per_sec": round(n_gif / t_gif),
+        "mismatches": gbad,
+    }
+    print("gif:", report["gif"], flush=True)
+
+    gsample = gout.where(F.col("id") < 200).collect()
+    assert len(gsample) == min(200, n_gif)
+    for r in gsample:
+        i = int(r["id"])
+        want = fixture_gif_palette(i)[fixture_gif_indices(i)]
+        assert np.array_equal(decode_gif(synth_gif_pixels(i)), want), i
+        f = want.astype(np.float64)
         assert abs(r["px_mean"] - f.mean()) < 1e-9, r
         assert abs(r["px_std"] - f.std()) < 1e-9, r
 
