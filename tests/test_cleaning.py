@@ -1,0 +1,199 @@
+"""Cleaning ops: PII redaction, Gopher repetition stats, boilerplate
+removal. Expected values are computed by an independent pure-Python
+re-derivation (same definitions, different machinery) so the Catalyst
+higher-order folds are checked value-exactly.
+
+Reference anchor: the reference engine has no cleaning surface — these
+are LLM-data-pipeline ops per the brief (Gopher thresholds: Rae et al.
+2021 table A1; line-level boilerplate: C4/RefinedWeb).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from lucene_spark.ops.cleaning import (
+    GOPHER_THRESHOLDS,
+    PII_PATTERNS,
+    PII_TOKENS,
+    boilerplate_lines,
+    gopher_repetition_filter,
+    pii_redact,
+    pii_stats,
+    remove_boilerplate,
+    repetition_stats,
+)
+
+TOK = re.compile(r"[a-z0-9]+")
+
+
+# ------------------------------------------------ python re-derivation
+
+
+def py_repetition(text: str) -> dict:
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    toks = TOK.findall(text.lower())
+    n = len(lines)
+    cnt = Counter(lines)
+    dup_occ = n - len(cnt)
+    line_chars = sum(len(l) for l in lines)
+    dup_chars = sum(len(l) for l in lines if cnt[l] > 1)
+    tok_chars = sum(len(t) for t in toks)
+
+    def gram_frac(k: int) -> float:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if not grams or not tok_chars:
+            return 0.0
+        best = Counter(grams).most_common()
+        top_n = best[0][1]
+        # tie-break to the smallest gram string (sorted-run semantics)
+        top_g = min(g for g, c in best if c == top_n)
+        frac = top_n * (len(top_g) - (k - 1)) / tok_chars
+        return min(frac, 1.0)
+
+    def line_frac(pat: str) -> float:
+        return (
+            sum(1 for l in lines if re.search(pat, l)) / n if n else 0.0
+        )
+
+    return {
+        "n_lines": n,
+        "dup_line_frac": round(dup_occ / n, 6) if n else 0.0,
+        "dup_line_char_frac": round(dup_chars / line_chars, 6)
+        if line_chars
+        else 0.0,
+        "top2gram_char_frac": round(gram_frac(2), 6),
+        "top3gram_char_frac": round(gram_frac(3), 6),
+        "bullet_line_frac": round(line_frac(r"^[-*•‣▪●·]"), 6),
+        "ellipsis_line_frac": round(line_frac(r"(\.\.\.|…)$"), 6),
+    }
+
+
+CORPUS = [
+    (1, "Contact bob@example.com or 555-867-5309\nVisit 192.168.0.1\n"
+        "SSN 123-45-6789 card 4111 1111 1111 1111"),
+    (2, "hello world\nhello world\nunique line\n\n   \nhello world"),
+    (3, ""),
+    (4, "- bullet one\n- bullet two\nplain...\nplain..."),
+    (5, "spam spam spam spam spam eggs"),
+    (6, "a normal paragraph about spark and indexes\nwith two lines"),
+    (7, "x y x y x y x y"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+class TestRepetitionStats:
+    def test_matches_python_rederivation(self, spark, corpus):
+        got = {r["id"]: r.asDict() for r in
+               repetition_stats(corpus, "doc_id", "text").collect()}
+        for doc_id, text in CORPUS:
+            exp = py_repetition(text)
+            for k, v in exp.items():
+                assert got[doc_id][k] == pytest.approx(v, abs=1e-6), (
+                    doc_id, k, got[doc_id][k], v)
+
+    def test_gopher_filter_flags(self, spark, corpus):
+        flags = {r["id"]: r["keep"] for r in
+                 gopher_repetition_filter(corpus, "doc_id", "text").collect()}
+        for doc_id, text in CORPUS:
+            exp = py_repetition(text)
+            want = all(exp[k] <= v for k, v in GOPHER_THRESHOLDS.items())
+            assert flags[doc_id] == want, (doc_id, exp)
+        # the fixture must exercise both outcomes
+        assert set(flags.values()) == {True, False}
+
+    def test_gram_frac_capped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam")], "doc_id long, text string")
+        r = repetition_stats(df, "doc_id", "text").collect()[0]
+        assert r["top2gram_char_frac"] == 1.0
+        assert r["top3gram_char_frac"] == 1.0
+
+
+class TestPii:
+    def test_counts(self, spark, corpus):
+        got = {r["id"]: r.asDict() for r in
+               pii_stats(corpus, "doc_id", "text").collect()}
+        for doc_id, text in CORPUS:
+            for name, pat in PII_PATTERNS:
+                assert got[doc_id][f"n_{name}"] == len(
+                    re.findall(pat, text)), (doc_id, name)
+            assert got[doc_id]["has_pii"] == bool(
+                sum(len(re.findall(p, text)) for _, p in PII_PATTERNS))
+        assert got[1]["has_pii"] and not got[2]["has_pii"]
+
+    def test_redaction_masks_in_order(self, spark, corpus):
+        got = {r["doc_id"]: r["text"] for r in
+               pii_redact(corpus, "text").collect()}
+        for doc_id, text in CORPUS:
+            exp = text
+            for name, pat in PII_PATTERNS:
+                exp = re.sub(pat, PII_TOKENS[name], exp)
+            assert got[doc_id] == exp, doc_id
+        r1 = got[1]
+        for token in ("<EMAIL>", "<PHONE>", "<IP>", "<SSN>", "<CREDIT_CARD>"):
+            assert token in r1
+        assert "bob@example.com" not in r1 and "123-45-6789" not in r1
+
+    def test_email_shields_domain_from_ip(self, spark):
+        # after email masking, its digits can't feed an ipv4/phone match
+        df = spark.createDataFrame(
+            [(1, "mail me: a@10.11.12.13.example.com")],
+            "doc_id long, text string")
+        out = pii_redact(df, "text").collect()[0]["text"]
+        assert out == "mail me: <EMAIL>"
+
+
+BP_CORPUS = [
+    (1, "real content line one\nCookie notice: accept all\nreal content line two"),
+    (2, "Cookie notice: accept all\nanother real paragraph\nCopyright 2026 ACME"),
+    (3, "Copyright 2026 ACME\nCookie notice: accept all"),
+    (4, "totally unique document"),
+    (5, ""),
+    # duplicate line only WITHIN one doc: array_distinct before the
+    # explode means it counts one doc, not two — stays non-boilerplate
+    (6, "only here twice\nonly here twice"),
+]
+
+
+class TestBoilerplate:
+    def test_dictionary(self, spark):
+        df = spark.createDataFrame(BP_CORPUS, "doc_id long, text string")
+        bp = {r["line"]: r["n_docs"] for r in
+              boilerplate_lines(df, "doc_id", "text", min_docs=2).collect()}
+        assert bp == {"Cookie notice: accept all": 3, "Copyright 2026 ACME": 2}
+
+    def test_removal_preserves_order_and_empty_docs(self, spark):
+        df = spark.createDataFrame(BP_CORPUS, "doc_id long, text string")
+        got = {r["id"]: r["text"] for r in
+               remove_boilerplate(df, "doc_id", "text", min_docs=2).collect()}
+        assert got[1] == "real content line one\nreal content line two"
+        assert got[2] == "another real paragraph"
+        assert got[3] == ""          # all lines were boilerplate
+        assert got[4] == "totally unique document"
+        assert got[5] == ""          # empty doc survives
+        assert got[6] == "only here twice\nonly here twice"
+        assert len(got) == len(BP_CORPUS)
+
+    def test_precomputed_dictionary_reuse(self, spark):
+        df = spark.createDataFrame(BP_CORPUS, "doc_id long, text string")
+        bp = boilerplate_lines(df, "doc_id", "text", min_docs=3)
+        got = {r["id"]: r["text"] for r in
+               remove_boilerplate(df, "doc_id", "text",
+                                  boilerplate=bp).collect()}
+        # min_docs=3 keeps the Copyright line (df 2)
+        assert got[3] == "Copyright 2026 ACME"
+        assert got[2] == "another real paragraph\nCopyright 2026 ACME"
+
+    def test_plan_broadcasts_dictionary(self, spark):
+        df = spark.createDataFrame(BP_CORPUS, "doc_id long, text string")
+        plan = remove_boilerplate(df, "doc_id", "text", min_docs=2)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
