@@ -104,6 +104,20 @@ def _nonempty_lines(text_col: str) -> Column:
     )
 
 
+def _let(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``body`` as a lambda-bound
+    variable — a let-binding built from a one-element ``transform``.
+
+    Catalyst has no common-subexpression elimination for higher-order
+    functions (they run as codegen fallbacks), so an expression
+    referenced k times is EVALUATED k times; binding it to a lambda
+    variable makes every reference a cheap variable read. Used below to
+    share the sorted line array and the n-gram top-run folds across the
+    stat columns.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _dup_occurrence_chars(sorted_arr: Column, n: Column) -> Column:
     """Σ length over occurrences that belong to a duplicate group.
 
@@ -169,15 +183,19 @@ def _gram_char_frac(toks: Column, tok_chars: Column, n: int) -> Column:
     'fraction of characters in the most frequent n-gram' measure; the
     n−1 joining spaces are not counted as gram characters).
     """
-    top = _top_run(F.sort_array(word_shingles(toks, n)))
-    gram_chars = F.length(top["best_val"]) - F.lit(n - 1)
-    frac = (top["best_n"] * gram_chars).cast("double") / tok_chars
-    # count×len over-counts characters shared by OVERLAPPING
-    # occurrences ('spam spam spam' → 2×8 chars from 12), so cap at 1:
-    # the measure is a fraction of the document's characters
-    return F.when(
-        (tok_chars > 0) & (top["best_n"] > 0), F.least(frac, F.lit(1.0))
-    ).otherwise(F.lit(0.0))
+
+    def frac_of(top: Column) -> Column:
+        gram_chars = F.length(top["best_val"]) - F.lit(n - 1)
+        frac = (top["best_n"] * gram_chars).cast("double") / tok_chars
+        # count×len over-counts characters shared by OVERLAPPING
+        # occurrences ('spam spam spam' → 2×8 chars from 12), so cap
+        # at 1: the measure is a fraction of the document's characters
+        return F.when(
+            (tok_chars > 0) & (top["best_n"] > 0), F.least(frac, F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+
+    # let-bind the fold: best_n/best_val are referenced three times
+    return _let(_top_run(F.sort_array(word_shingles(toks, n))), frac_of)
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -195,50 +213,70 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     - bullet/ellipsis_line_frac: lines starting with a bullet glyph /
       ending in an ellipsis.
 
-    Lines are trimmed and empty lines dropped before any measure. One
-    projection — higher-order folds over per-document arrays, no
-    shuffle, no Python.
+    Lines are trimmed and empty lines dropped before any measure.
+
+    Plan shape: all eight measures are computed inside ONE struct
+    expression per row, let-bound (``_let``) so each fold runs once,
+    and emitted through ``explode(array(struct))`` — the Generate node
+    is a deliberate optimizer barrier: without it, a downstream filter
+    on the stat columns (``gopher_repetition_filter``) gets pushed
+    into the projection and re-derives the whole tokenize/sort/fold
+    tree once PER REFERENCED COLUMN (measured 9× slower at 200k docs,
+    since higher-order functions get no codegen or common-subexpression
+    elimination). Still one scan, no shuffle, no Python.
     """
-    df2 = df.select(
-        F.col(id_col).alias("id"),
+
+    def stats_of(b: Column) -> Column:
+        lines, toks = b["lines"], b["toks"]
+        nl = F.size(lines)
+        n_dup_occ = nl - F.size(F.array_distinct(lines))
+        line_chars = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        dup_chars = _let(
+            F.sort_array(lines), lambda sl: _dup_occurrence_chars(sl, nl)
+        )
+        tok_chars = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        )
+
+        def line_frac(pattern: str) -> Column:
+            hits = F.size(F.filter(lines, lambda l: l.rlike(pattern)))
+            return F.when(nl > 0, hits.cast("double") / nl).otherwise(
+                F.lit(0.0)
+            )
+
+        return F.struct(
+            nl.alias("n_lines"),
+            F.round(
+                F.when(nl > 0, n_dup_occ.cast("double") / nl).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(line_chars > 0, dup_chars.cast("double") / line_chars)
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(_gram_char_frac(toks, tok_chars, 2), 6).alias(
+                "top2gram_char_frac"
+            ),
+            F.round(_gram_char_frac(toks, tok_chars, 3), 6).alias(
+                "top3gram_char_frac"
+            ),
+            F.round(line_frac(BULLET_LINE), 6).alias("bullet_line_frac"),
+            F.round(line_frac(ELLIPSIS_LINE), 6).alias("ellipsis_line_frac"),
+        )
+
+    base = F.struct(
         _nonempty_lines(text_col).alias("lines"),
         tokens(text_col).alias("toks"),
     )
-    nl = F.size("lines")
-    sorted_lines = F.sort_array(F.col("lines"))
-    n_dup_occ = nl - F.size(F.array_distinct("lines"))
-    line_chars = F.aggregate(
-        F.col("lines"), F.lit(0).cast("long"), lambda a, l: a + F.length(l)
-    )
-    dup_chars = _dup_occurrence_chars(sorted_lines, nl)
-    tok_chars = F.aggregate(
-        F.col("toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    )
-
-    def line_frac(pattern: str) -> Column:
-        hits = F.size(F.filter(F.col("lines"), lambda l: l.rlike(pattern)))
-        return F.when(nl > 0, hits.cast("double") / nl).otherwise(F.lit(0.0))
-
-    return df2.select(
-        "id",
-        nl.alias("n_lines"),
-        F.round(
-            F.when(nl > 0, n_dup_occ.cast("double") / nl).otherwise(F.lit(0.0)), 6
-        ).alias("dup_line_frac"),
-        F.round(
-            F.when(line_chars > 0, dup_chars.cast("double") / line_chars)
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_line_char_frac"),
-        F.round(_gram_char_frac(F.col("toks"), tok_chars, 2), 6).alias(
-            "top2gram_char_frac"
-        ),
-        F.round(_gram_char_frac(F.col("toks"), tok_chars, 3), 6).alias(
-            "top3gram_char_frac"
-        ),
-        F.round(line_frac(BULLET_LINE), 6).alias("bullet_line_frac"),
-        F.round(line_frac(ELLIPSIS_LINE), 6).alias("ellipsis_line_frac"),
-    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(_let(base, stats_of))).alias("_rs"),
+    ).select("id", "_rs.*")
 
 
 # Published Gopher thresholds (Rae et al. 2021, table A1) for the
