@@ -1803,10 +1803,20 @@ FROM ng
 
 
 def _tx_quality(spark, sf_dir):
-    return quality_score(_docs(spark, sf_dir), "doc_id", "text").select(
+    """quality_score ⋈ token_counts (merged gate, r5 — frees a registry
+    slot for tx_cleaning while both oracles keep running): two pure
+    projections over one documents scan, joined on id."""
+    d = _docs(spark, sf_dir)
+    q = quality_score(d, "doc_id", "text")
+    tcn = token_counts(d, "doc_id", "text")
+    return q.join(tcn, "id").select(
         F.col("id").cast("long").alias("id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "uniq_ratio", "mean_tok_len", "stop_ratio", "quality",
+        F.col("n_ws").cast("long").alias("n_ws"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
 
 
@@ -1857,6 +1867,12 @@ SELECT doc_id::BIGINT AS id,
 FROM documents
 """
 
+_TX_QUALITY_MERGED_SQL = f"""
+WITH q AS ({_TX_QUALITY_SQL}), tc AS ({_TX_TOKEN_COUNTS_SQL})
+SELECT q.*, tc.n_ws, tc.n_words, tc.n_bpe, tc.n_chars
+FROM q JOIN tc USING (id)
+"""
+
 
 def _tx_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir), "doc_id", "text").select(
@@ -1871,6 +1887,190 @@ SELECT doc_id::BIGINT AS id,
                t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483648)),
            (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD})::BIGINT AS fp
 FROM documents
+"""
+
+
+# ------------------------------------------------------------ tx_cleaning
+# Deterministic multi-line re-lining of the documents table so the
+# line-level cleaning ops have real structure to measure: three content
+# lines (the third duplicates the first → intra-doc dup lines; ids%3
+# get a bullet prefix, ids%4 an ellipsis suffix), a 3-variant cross-doc
+# footer on even ids (the boilerplate dictionary, df ≈ n/6 ≥ min_docs),
+# and a PII line (unique email + SSN + IP) on ids % 5 == 0. The same
+# construction is written in both dialects below — only the int→string
+# cast syntax differs.
+
+_CLEAN_SYNTH_SPARK = """
+concat(
+  substr(text, 1, 40), chr(10),
+  case when doc_id % 3 = 0 then '- ' else '' end,
+  substr(text, 21, 40),
+  case when doc_id % 4 = 0 then '...' else '' end, chr(10),
+  substr(text, 1, 40),
+  case when doc_id % 2 = 0
+       then chr(10) || 'standard footer variant ' || cast(doc_id % 3 as string)
+       else '' end,
+  case when doc_id % 5 = 0
+       then chr(10) || 'contact a' || cast(doc_id as string)
+            || '@x.io ssn 123-45-6789 ip 10.0.0.' || cast(doc_id % 256 as string)
+       else '' end
+)
+"""
+
+_CLEAN_SYNTH_DUCK = """
+concat(
+  substr(text, 1, 40), chr(10),
+  CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END,
+  substr(text, 21, 40),
+  CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '' END, chr(10),
+  substr(text, 1, 40),
+  CASE WHEN doc_id % 2 = 0
+       THEN chr(10) || 'standard footer variant ' || (doc_id % 3)::VARCHAR
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN chr(10) || 'contact a' || doc_id::VARCHAR
+            || '@x.io ssn 123-45-6789 ip 10.0.0.' || (doc_id % 256)::VARCHAR
+       ELSE '' END
+)
+"""
+
+_BP_MIN_DOCS = 10
+
+
+def _tx_cleaning(spark, sf_dir):
+    """Cleaning-ops gate (ops.cleaning): Gopher repetition stats + PII
+    counts + corpus-level boilerplate removal over the deterministic
+    multi-line corpus above. One row per document: all eight repetition
+    measures, the five PII class counts + has_pii, and the document's
+    text after footer-dictionary removal (min_docs=10)."""
+    from lucene_spark.ops.cleaning import (
+        pii_stats,
+        remove_boilerplate,
+        repetition_stats,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CLEAN_SYNTH_SPARK).alias("text")
+    )
+    rep = repetition_stats(d, "doc_id", "text")
+    pii = pii_stats(d, "doc_id", "text")
+    clean = remove_boilerplate(
+        d, "doc_id", "text", min_docs=_BP_MIN_DOCS
+    ).withColumnRenamed("text", "clean_text")
+    return (
+        rep.join(pii, "id")
+        .join(clean, "id")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top2gram_char_frac",
+            "top3gram_char_frac",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_credit_card").cast("long").alias("n_credit_card"),
+            F.col("n_ssn").cast("long").alias("n_ssn"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+            F.col("has_pii").cast("long").alias("has_pii"),
+            "clean_text",
+        )
+    )
+
+
+def _tx_cleaning_sql() -> str:
+    from lucene_spark.ops.cleaning import PII_PATTERNS
+
+    pii_cols = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    pii_sum = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in PII_PATTERNS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_CLEAN_SYNTH_DUCK} AS text FROM documents),
+base AS (
+    SELECT doc_id, text,
+           list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                       x -> length(x) > 0) AS ls,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+    FROM t
+),
+g AS (
+    SELECT doc_id, ls,
+           list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1]) AS g2,
+           list_transform(generate_series(1, len(tk) - 2),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3,
+           coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS tc
+    FROM base
+),
+tops AS (
+    SELECT doc_id, ls, tc, g2, g3,
+           coalesce(list_max(list_transform(g2, x -> len(list_filter(g2, y -> y = x)))), 0) AS b2n,
+           coalesce(list_max(list_transform(g3, x -> len(list_filter(g3, y -> y = x)))), 0) AS b3n
+    FROM g
+),
+rep AS (
+    SELECT doc_id,
+           len(ls)::BIGINT AS n_lines,
+           CASE WHEN len(ls) > 0
+                THEN round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN coalesce(list_sum(list_transform(ls, l -> length(l))), 0) > 0
+                THEN round(coalesce(list_sum(list_transform(ls,
+                         l -> CASE WHEN len(list_filter(ls, x -> x = l)) > 1
+                                   THEN length(l) ELSE 0 END)), 0)::DOUBLE
+                     / list_sum(list_transform(ls, l -> length(l))), 6)
+                ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN tc > 0 AND b2n > 0
+                THEN round(least(1.0, (b2n * (length(list_min(list_filter(g2,
+                         x -> len(list_filter(g2, y -> y = x)) = b2n))) - 1))::DOUBLE / tc), 6)
+                ELSE 0.0 END AS top2gram_char_frac,
+           CASE WHEN tc > 0 AND b3n > 0
+                THEN round(least(1.0, (b3n * (length(list_min(list_filter(g3,
+                         x -> len(list_filter(g3, y -> y = x)) = b3n))) - 2))::DOUBLE / tc), 6)
+                ELSE 0.0 END AS top3gram_char_frac,
+           CASE WHEN len(ls) > 0
+                THEN round(len(list_filter(ls, l -> regexp_matches(l, '^[-*•‣▪●·]')))::DOUBLE / len(ls), 6)
+                ELSE 0.0 END AS bullet_line_frac,
+           CASE WHEN len(ls) > 0
+                THEN round(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE / len(ls), 6)
+                ELSE 0.0 END AS ellipsis_line_frac
+    FROM tops
+),
+pii AS (
+    SELECT doc_id,
+           {pii_cols},
+           (({pii_sum}) > 0)::BIGINT AS has_pii
+    FROM t
+),
+e AS (
+    SELECT doc_id, i AS pos, ls[i] AS line
+    FROM base, LATERAL (SELECT unnest(generate_series(1, len(base.ls))) AS i) ix
+),
+bp AS (
+    SELECT line FROM e GROUP BY line
+    HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+),
+kept AS (SELECT doc_id, pos, line FROM e ANTI JOIN bp USING(line)),
+cleaned AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT rep.doc_id::BIGINT AS id,
+       rep.n_lines, rep.dup_line_frac, rep.dup_line_char_frac,
+       rep.top2gram_char_frac, rep.top3gram_char_frac,
+       rep.bullet_line_frac, rep.ellipsis_line_frac,
+       pii.n_email, pii.n_credit_card, pii.n_ssn, pii.n_ipv4, pii.n_phone,
+       pii.has_pii,
+       coalesce(cleaned.clean_text, '') AS clean_text
+FROM rep
+JOIN pii USING (doc_id)
+LEFT JOIN cleaned USING (doc_id)
 """
 
 
@@ -2678,7 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantize": _ann_quantize,
         "tx_lang_id": _tx_lang_merged,
         "tx_quality": _tx_quality,
-        "tx_token_counts": _tx_token_counts,
+        "tx_cleaning": _tx_cleaning,
         "tx_fingerprint": _tx_fingerprint,
         "mm_features": _mm_features,
         "mm_audio": _mm_audio,
@@ -2743,8 +2943,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs_lsh": _ANN_LSH_SQL,
         "ann_quantize": _ANN_QUANTIZE_SQL,
         "tx_lang_id": _tx_lang_merged_sql(),
-        "tx_quality": _TX_QUALITY_SQL,
-        "tx_token_counts": _TX_TOKEN_COUNTS_SQL,
+        "tx_quality": _TX_QUALITY_MERGED_SQL,
+        "tx_cleaning": _tx_cleaning_sql(),
         "tx_fingerprint": _TX_FP_SQL,
         "mm_features": _MM_SQL,
         "mm_audio": _MM_AUDIO_SQL,
