@@ -1994,7 +1994,8 @@ def _tx_cleaning_sql() -> str:
 WITH t AS (SELECT doc_id, {_CLEAN_SYNTH_DUCK} AS text FROM documents),
 base AS (
     SELECT doc_id, text,
-           list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      x -> trim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))),
                        x -> length(x) > 0) AS ls,
            regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
     FROM t

@@ -97,9 +97,19 @@ BULLET_LINE = r"^[-*•‣▪●·]"
 ELLIPSIS_LINE = r"(\.\.\.|…)$"
 
 
+# ASCII whitespace trimmed from line ends (space, tab, CR, VT, FF —
+# NL can't survive the split). An explicit charset so the DuckDB twin
+# (trim(x, <same chars>)) is character-identical; plain trim() strips
+# spaces only in BOTH engines and would keep tab-only lines "non-empty".
+LINE_TRIM_CHARS = " \t\r\x0b\x0c"
+
+
 def _nonempty_lines(text_col: str) -> Column:
     return F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(F.col(text_col), "\n"),
+            lambda l: F.btrim(l, F.lit(LINE_TRIM_CHARS)),
+        ),
         lambda l: F.length(l) > 0,
     )
 

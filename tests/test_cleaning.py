@@ -33,8 +33,13 @@ TOK = re.compile(r"[a-z0-9]+")
 # ------------------------------------------------ python re-derivation
 
 
+LINE_TRIM = " \t\r\x0b\x0c"  # the engine's ASCII line-trim charset
+
+
 def py_repetition(text: str) -> dict:
-    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    lines = [
+        l.strip(LINE_TRIM) for l in text.split("\n") if l.strip(LINE_TRIM)
+    ]
     toks = TOK.findall(text.lower())
     n = len(lines)
     cnt = Counter(lines)
@@ -81,6 +86,16 @@ CORPUS = [
     (5, "spam spam spam spam spam eggs"),
     (6, "a normal paragraph about spark and indexes\nwith two lines"),
     (7, "x y x y x y x y"),
+    # adversarial shapes: whitespace-only, newline runs, unicode,
+    # digit runs that tile several PII classes, ellipsis/bullet glyphs
+    (8, "\n\n\n"),
+    (9, "   \n\t \n  "),
+    (10, "héllo wörld\n… and more…\n• unicode bullet"),
+    (11, "1.2.3.4.5.6.7.8 and 123-45-6789-1234 and 12-34-5678"),
+    (12, "555-123-4567 or (555) 123-4567 or +1 555 123 4567"),
+    (13, "word " * 200),
+    (14, "same line\n" * 40),
+    (15, "...\n...\n- \n-"),
 ]
 
 
@@ -142,6 +157,14 @@ class TestPii:
             assert token in r1
         assert "bob@example.com" not in r1 and "123-45-6789" not in r1
 
+    def test_redaction_total(self, spark, corpus):
+        # masking is total: a re-scan of the redacted corpus finds no
+        # PII (replacement tokens never create new matches, and
+        # leftovers adjacent to a consumed region can't re-combine)
+        red = pii_redact(corpus, "text").withColumnRenamed("doc_id", "id2")
+        again = pii_stats(red, "id2", "text")
+        assert again.where("has_pii").count() == 0
+
     def test_email_shields_domain_from_ip(self, spark):
         # after email masking, its digits can't feed an ipv4/phone match
         df = spark.createDataFrame(
@@ -191,6 +214,31 @@ class TestBoilerplate:
         # min_docs=3 keeps the Copyright line (df 2)
         assert got[3] == "Copyright 2026 ACME"
         assert got[2] == "another real paragraph\nCopyright 2026 ACME"
+
+    def test_fracs_bounded(self, spark, corpus):
+        # every fraction stays in [0,1] on the adversarial shapes
+        # (whitespace-only docs, 40× duplicate lines, 200× one token)
+        import pyspark.sql.functions as SF
+
+        rep = repetition_stats(corpus, "doc_id", "text")
+        frac_cols = [c for c in rep.columns if c.endswith("frac")]
+        bad = rep.where(
+            " OR ".join(f"({c} < 0 OR {c} > 1)" for c in frac_cols)
+        ).count()
+        assert bad == 0
+        assert rep.where(SF.col("n_lines") < 0).count() == 0
+
+    def test_removal_idempotent(self, spark):
+        # cleaning an already-cleaned corpus removes nothing: every
+        # surviving line has document frequency < min_docs by
+        # construction (per-doc-distinct counting is unaffected by
+        # removing OTHER lines)
+        df = spark.createDataFrame(BP_CORPUS, "doc_id long, text string")
+        once = remove_boilerplate(df, "doc_id", "text", min_docs=2)
+        twice = remove_boilerplate(once, "id", "text", min_docs=2)
+        a = {r["id"]: r["text"] for r in once.collect()}
+        b = {r["id"]: r["text"] for r in twice.collect()}
+        assert a == b
 
     def test_plan_broadcasts_dictionary(self, spark):
         df = spark.createDataFrame(BP_CORPUS, "doc_id long, text string")
