@@ -139,3 +139,23 @@ def test_plans_md_invariants_not_stale(spark):
             f"{documented[key]}, live {live[key]} — regenerate with "
             f"python tools/explain_plans.py"
         )
+
+
+def test_repetition_stats_explode_barrier_holds(spark):
+    """The Gopher stats are computed once per row behind an
+    explode(array(struct)) Generate barrier. Without it, a filter on
+    the stat columns is pushed into the projection and re-derives the
+    tokenize/sort/fold tree per referenced column (measured 9-23×
+    slower at 200k-1.4M docs). Guard the barrier and the fold count so
+    an optimizer change or refactor can't silently collapse it."""
+    from lucene_spark.ops.cleaning import gopher_repetition_filter
+
+    df = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, "a b\na b")], "doc_id long, text string"
+    )
+    plan = _plan(gopher_repetition_filter(df, "doc_id", "text").where("keep"))
+    assert plan.count("Generate explode") == 1, plan[:400]
+    # let-bound folds: line_chars, dup_chars, tok_chars (×2 — once per
+    # gram frac), and one top-run fold per gram size. More means the
+    # barrier or a _let binding regressed and a fold is re-evaluated.
+    assert plan.count("aggregate(") <= 9, plan.count("aggregate(")
