@@ -261,7 +261,43 @@ def build_sections(spark, e, sf):
             "on (band, key) — candidates only, never all pairs — then "
             "shingle-set verify joins.",
         ),
+        (
+            "gopher_filter",
+            "Gopher repetition filter (`keep`-filtered stats)",
+            _gopher_df(docs),
+            "Round 5: all eight repetition measures are let-bound into "
+            "ONE struct per row and emitted through explode(array(…)) — "
+            "the Generate is a deliberate optimizer barrier. Without "
+            "it, the keep-filter is pushed into the projection and "
+            "re-derives the tokenize/sort/fold tree once per "
+            "referenced column (9-23× slower measured; higher-order "
+            "functions get no codegen or subexpression elimination). "
+            "One scan, zero exchanges.",
+        ),
+        (
+            "boilerplate",
+            "Boilerplate-line removal (corpus-level dictionary)",
+            _boilerplate_df(docs),
+            "One line-hash groupBy builds the dictionary (per-doc "
+            "array_distinct before the explode caps any hot line at "
+            "one row per document); the surviving dictionary is small "
+            "by the df threshold and BROADCASTS back as a left-anti "
+            "join — the corpus side is never shuffled for the lookup, "
+            "only the id-keyed reassembly exchange remains.",
+        ),
     ]
+
+
+def _gopher_df(docs):
+    from lucene_spark.ops.cleaning import gopher_repetition_filter
+
+    return gopher_repetition_filter(docs, "doc_id", "text").where("keep")
+
+
+def _boilerplate_df(docs):
+    from lucene_spark.ops.cleaning import remove_boilerplate
+
+    return remove_boilerplate(docs, "doc_id", "text", min_docs=5)
 
 
 def main():
