@@ -1848,16 +1848,8 @@ FROM f
 """
 
 
-def _tx_token_counts(spark, sf_dir):
-    return token_counts(_docs(spark, sf_dir), "doc_id", "text").select(
-        F.col("id").cast("long").alias("id"),
-        F.col("n_ws").cast("long").alias("n_ws"),
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_bpe").cast("long").alias("n_bpe"),
-        F.col("n_chars").cast("long").alias("n_chars"),
-    )
-
-
+# token_counts runs inside the merged tx_quality gate (its Spark side
+# is the join in _tx_quality; this SQL is CTE'd into the merged oracle)
 _TX_TOKEN_COUNTS_SQL = f"""
 SELECT doc_id::BIGINT AS id,
        len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS n_ws,
@@ -2039,7 +2031,7 @@ rep AS (
                 THEN round(len(list_filter(ls, l -> regexp_matches(l, '^[-*•‣▪●·]')))::DOUBLE / len(ls), 6)
                 ELSE 0.0 END AS bullet_line_frac,
            CASE WHEN len(ls) > 0
-                THEN round(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE / len(ls), 6)
+                THEN round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(ls), 6)
                 ELSE 0.0 END AS ellipsis_line_frac
     FROM tops
 ),
@@ -2049,15 +2041,26 @@ pii AS (
            (({pii_sum}) > 0)::BIGINT AS has_pii
     FROM t
 ),
-e AS (
-    SELECT doc_id, i AS pos, ls[i] AS line
-    FROM base, LATERAL (SELECT unnest(generate_series(1, len(base.ls))) AS i) ix
-),
 bp AS (
-    SELECT line FROM e GROUP BY line
-    HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    SELECT CAST(concat('0x', substr(md5(line), 1, 15)) AS BIGINT) AS line_hash
+    FROM (SELECT DISTINCT doc_id, x AS line FROM base, unnest(base.ls) AS u(x)) dl
+    GROUP BY line HAVING count(*) >= {_BP_MIN_DOCS}
 ),
-kept AS (SELECT doc_id, pos, line FROM e ANTI JOIN bp USING(line)),
+rawl AS (
+    SELECT doc_id, i AS pos, string_split(text, chr(10))[i] AS line
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(string_split(t.text, chr(10))))) AS i
+    ) ix
+),
+kept AS (
+    SELECT doc_id, pos, line
+    FROM (SELECT doc_id, pos, line,
+                 CAST(concat('0x', substr(md5(
+                     trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12))
+                 ), 1, 15)) AS BIGINT) AS line_hash
+          FROM rawl) r
+    ANTI JOIN bp USING (line_hash)
+),
 cleaned AS (
     SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
     FROM kept GROUP BY doc_id

@@ -94,7 +94,11 @@ def pii_redact(
 # ------------------------------------------- Gopher repetition stats
 
 BULLET_LINE = r"^[-*•‣▪●·]"
-ELLIPSIS_LINE = r"(\.\.\.|…)$"
+# ellipsis endings are matched with endswith, NOT a '$'-anchored regex:
+# Java's non-MULTILINE '$' also matches before a trailing U+2028/U+2029/
+# U+0085 (which survive the ASCII line trim) while RE2's and Python's
+# do not — endswith has identical semantics in all three engines
+ELLIPSIS_SUFFIXES = ("...", "…")
 
 
 # ASCII whitespace trimmed from line ends (space, tab, CR, VT, FF —
@@ -250,11 +254,18 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
         )
 
-        def line_frac(pattern: str) -> Column:
-            hits = F.size(F.filter(lines, lambda l: l.rlike(pattern)))
+        def line_frac(pred) -> Column:
+            hits = F.size(F.filter(lines, pred))
             return F.when(nl > 0, hits.cast("double") / nl).otherwise(
                 F.lit(0.0)
             )
+
+        def is_ellipsis(l: Column) -> Column:
+            cond = None
+            for suf in ELLIPSIS_SUFFIXES:
+                c = l.endswith(F.lit(suf))
+                cond = c if cond is None else cond | c
+            return cond
 
         return F.struct(
             nl.alias("n_lines"),
@@ -275,8 +286,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(_gram_char_frac(toks, tok_chars, 3), 6).alias(
                 "top3gram_char_frac"
             ),
-            F.round(line_frac(BULLET_LINE), 6).alias("bullet_line_frac"),
-            F.round(line_frac(ELLIPSIS_LINE), 6).alias("ellipsis_line_frac"),
+            F.round(
+                line_frac(lambda l: l.rlike(BULLET_LINE)), 6
+            ).alias("bullet_line_frac"),
+            F.round(line_frac(is_ellipsis), 6).alias("ellipsis_line_frac"),
         )
 
     base = F.struct(
@@ -334,22 +347,24 @@ def boilerplate_lines(
     dictionary (nav bars, cookie banners, signatures).
 
     One explode + one groupBy(line_hash) — the single unavoidable
-    shuffle (document frequency of a line is a global count). The
+    shuffle (document frequency of a line is a global count), keyed on
+    the 8-byte hash so downstream lookups never carry line text. The
     per-document ``array_distinct`` BEFORE the explode is the map-side
     guard: a pathological document repeating one line a million times
     contributes one row, so no hot line key sees more rows than there
     are documents, and ``count(*)`` (cheap) equals count(distinct doc)
-    (expensive) by construction.
+    (expensive) by construction. A 60-bit hash collision would merge
+    two lines' doc counts — with p < pairs/2^60, not a design concern.
     """
     lines = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(_nonempty_lines(text_col))).alias("line"),
+        F.explode(F.array_distinct(_nonempty_lines(text_col))).alias("line")
     )
     return (
-        lines.groupBy("line")
-        .agg(F.count("*").alias("n_docs"))
+        lines.select("line", md5_long(F.col("line")).alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.first("line").alias("line"), F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("line", md5_long(F.col("line")).alias("line_hash"), "n_docs")
+        .select("line", "line_hash", "n_docs")
     )
 
 
@@ -359,18 +374,26 @@ def remove_boilerplate(
     text_col: str,
     min_docs: int = 2,
     boilerplate: DataFrame | None = None,
+    broadcast_dict: bool = False,
 ) -> DataFrame:
-    """(id, text): each document with its boilerplate lines removed
-    (trimmed line text compared exactly; empty lines dropped; survivors
-    re-joined with ``\\n`` in original order).
+    """(id, text): each document with its boilerplate lines removed.
 
-    Plan shape at 100 TB: posexplode (line order key) → broadcast
-    LEFT ANTI join against the small boilerplate dictionary (the
-    corpus side is NOT shuffled for the lookup) → one id-keyed
-    groupBy to reassemble. Two corpus-volume shuffles total: the
-    dictionary count inside ``boilerplate_lines`` and the reassembly;
-    both linear, neither skew-prone (ids are unique, the dictionary
-    explode is per-document-distinct).
+    A line is boilerplate when its TRIMMED text is in the dictionary;
+    surviving lines keep their ORIGINAL bytes — indentation, blank
+    lines and trailing whitespace are preserved, so a document with no
+    boilerplate comes back byte-identical (split + join on ``\\n`` is
+    lossless).
+
+    Plan shape at 100 TB: posexplode the raw lines → LEFT ANTI join on
+    the 8-byte line hash (the dictionary side ships hashes only, no
+    line text) → one id-keyed groupBy to reassemble. The join strategy
+    is deliberately left to Catalyst/AQE: at the default ``min_docs=2``
+    on web text the dictionary is NOT guaranteed small (every
+    twice-seen line enters it), and force-broadcasting would bet the
+    driver's memory on the corpus's duplication statistics — AQE
+    broadcasts at runtime exactly when the built side measures small.
+    Pass ``broadcast_dict=True`` only when the caller knows the
+    dictionary is bounded (high ``min_docs``, curated dictionary).
 
     Pass ``boilerplate=`` to reuse a precomputed dictionary (e.g. built
     on a sample, or shared across shards).
@@ -380,13 +403,17 @@ def remove_boilerplate(
         if boilerplate is not None
         else boilerplate_lines(df, id_col, text_col, min_docs=min_docs)
     )
-    exploded = df.select(
+    dict_keys = bp.select("line_hash")
+    if broadcast_dict:
+        dict_keys = F.broadcast(dict_keys)
+    raw = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_nonempty_lines(text_col)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
     )
-    kept = exploded.join(
-        F.broadcast(bp.select("line")), on="line", how="left_anti"
+    keyed = raw.withColumn(
+        "line_hash", md5_long(F.btrim(F.col("line"), F.lit(LINE_TRIM_CHARS)))
     )
+    kept = keyed.join(dict_keys, on="line_hash", how="left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             "\n",
@@ -396,8 +423,8 @@ def remove_boilerplate(
             ),
         ).alias("text")
     )
-    # documents whose EVERY line was boilerplate (or that had no
-    # non-empty lines) must survive with empty text, not vanish
+    # documents whose EVERY line was boilerplate must survive with
+    # empty text, not vanish
     ids = df.select(F.col(id_col).alias("id"))
     return ids.join(rebuilt, on="id", how="left").select(
         "id", F.coalesce("text", F.lit("")).alias("text")

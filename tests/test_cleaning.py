@@ -59,10 +59,8 @@ def py_repetition(text: str) -> dict:
         frac = top_n * (len(top_g) - (k - 1)) / tok_chars
         return min(frac, 1.0)
 
-    def line_frac(pat: str) -> float:
-        return (
-            sum(1 for l in lines if re.search(pat, l)) / n if n else 0.0
-        )
+    def line_frac(pred) -> float:
+        return sum(1 for l in lines if pred(l)) / n if n else 0.0
 
     return {
         "n_lines": n,
@@ -72,8 +70,12 @@ def py_repetition(text: str) -> dict:
         else 0.0,
         "top2gram_char_frac": round(gram_frac(2), 6),
         "top3gram_char_frac": round(gram_frac(3), 6),
-        "bullet_line_frac": round(line_frac(r"^[-*•‣▪●·]"), 6),
-        "ellipsis_line_frac": round(line_frac(r"(\.\.\.|…)$"), 6),
+        "bullet_line_frac": round(
+            line_frac(lambda l: re.search(r"^[-*•‣▪●·]", l) is not None), 6
+        ),
+        "ellipsis_line_frac": round(
+            line_frac(lambda l: l.endswith(("...", "…"))), 6
+        ),
     }
 
 
@@ -96,6 +98,9 @@ CORPUS = [
     (13, "word " * 200),
     (14, "same line\n" * 40),
     (15, "...\n...\n- \n-"),
+    # U+2028 after the ellipsis: endswith (all three engines) says no;
+    # a '$'-anchored Java regex would have said yes — parity guard
+    (16, "wait… \nnormal line"),
 ]
 
 
@@ -240,8 +245,38 @@ class TestBoilerplate:
         b = {r["id"]: r["text"] for r in twice.collect()}
         assert a == b
 
-    def test_plan_broadcasts_dictionary(self, spark):
+    def test_preserves_original_bytes(self, spark):
+        # indentation, blank lines and trailing whitespace of surviving
+        # lines come back byte-identical; only boilerplate lines leave
+        docs = [
+            (1, "def f():\n    return 1\n\n  done  \nCookie notice"),
+            (2, "Cookie notice\nother"),
+            (3, "  Cookie notice  \nthird"),  # trimmed text matches → removed
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["id"]: r["text"] for r in
+               remove_boilerplate(df, "doc_id", "text", min_docs=3).collect()}
+        assert got[1] == "def f():\n    return 1\n\n  done  "
+        assert got[2] == "other"
+        assert got[3] == "third"
+
+    def test_no_boilerplate_is_identity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "  indented\n\nblank kept\n"), (2, "x")],
+            "doc_id long, text string")
+        got = {r["id"]: r["text"] for r in
+               remove_boilerplate(df, "doc_id", "text", min_docs=2).collect()}
+        assert got[1] == "  indented\n\nblank kept\n"
+        assert got[2] == "x"
+
+    def test_plan_broadcasts_dictionary_when_forced(self, spark):
         df = spark.createDataFrame(BP_CORPUS, "doc_id long, text string")
-        plan = remove_boilerplate(df, "doc_id", "text", min_docs=2)._jdf \
-            .queryExecution().executedPlan().toString()
+        plan = remove_boilerplate(
+            df, "doc_id", "text", min_docs=2, broadcast_dict=True
+        )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        # default leaves the strategy to Catalyst/AQE — the dictionary
+        # is unbounded at min_docs=2, so no forced broadcast hint
+        dflt = remove_boilerplate(df, "doc_id", "text", min_docs=2)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in dflt

@@ -139,10 +139,16 @@ def main():
     assert all(r["n_docs"] == per_variant for r in bp_rows), bp_rows[:3]
 
     # --- removal: cleaned corpus has zero boilerplate, all docs kept -
+    # (sum(length(text)) — NOT count(): Catalyst knows the reassembly
+    # groupBy yields unique ids and ELIMINATES the preserve-all-docs
+    # left join from a bare count, which would time an empty plan)
     t0 = time.time()
     cleaned = remove_boilerplate(docs, "doc_id", "text", min_docs=BP_MIN_DOCS)
-    n_cleaned = cleaned.count()
+    row = cleaned.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+    ).collect()[0]
     t_remove = time.time() - t0
+    n_cleaned, clean_chars = row["n"], row["chars"]
     assert n_cleaned == n_docs, (n_cleaned, n_docs)
     n_bp_after = boilerplate_lines(
         cleaned, "id", "text", min_docs=BP_MIN_DOCS
@@ -161,6 +167,7 @@ def main():
         "gopher_keep_frac": round(n_keep / n_docs, 4),
         "boilerplate_dict_sec": round(t_bp, 1),
         "remove_boilerplate_sec": round(t_remove, 1),
+        "clean_chars": int(clean_chars),
         "pii_docs": n_pii,
         "bp_variants": len(bp_rows),
         "bp_docs_per_variant": per_variant,
