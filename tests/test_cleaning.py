@@ -137,6 +137,45 @@ class TestRepetitionStats:
         assert r["top3gram_char_frac"] == 1.0
 
 
+def _fuzz_texts(n: int = 300, seed: int = 7) -> list[tuple[int, str]]:
+    """Deterministic nasty-text generator: random mixes of tokens,
+    whitespace runs, newlines, unicode, PII fragments, bullets and
+    ellipses — one Spark job cross-checks all of them value-exactly."""
+    import random
+
+    rng = random.Random(seed)
+    atoms = [
+        "word", "the", "spark", "x", "1234", "a.b", "…", "...", "- item",
+        "• dot", "\t", "   ", "", "héllo", "wörld", "123-45-6789",
+        "bob@x.io", "10.0.0.1", "555-123-4567", "4111 1111 1111 1111",
+        " ", "\r", "same same same", "a b a b a b",
+    ]
+    out = []
+    for i in range(n):
+        n_lines = rng.randint(0, 8)
+        lines = []
+        for _ in range(n_lines):
+            k = rng.randint(0, 6)
+            lines.append(" ".join(rng.choice(atoms) for _ in range(k)))
+        if lines and rng.random() < 0.4:  # force intra-doc dup lines
+            lines.append(rng.choice(lines))
+        out.append((i, "\n".join(lines)))
+    return out
+
+
+def test_repetition_fuzz_matches_python(spark):
+    rows = _fuzz_texts()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in
+           repetition_stats(df, "doc_id", "text").collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        exp = py_repetition(text)
+        for k, v in exp.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-6), (
+                doc_id, k, got[doc_id][k], v, repr(text))
+
+
 class TestPii:
     def test_counts(self, spark, corpus):
         got = {r["id"]: r.asDict() for r in
@@ -280,3 +319,44 @@ class TestBoilerplate:
         dflt = remove_boilerplate(df, "doc_id", "text", min_docs=2)._jdf \
             .queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in dflt
+
+
+def test_cleaning_ops_run_on_streams(spark, tmp_path):
+    """pii_redact / pii_stats / repetition_stats are stateless
+    projections, so the SAME call works on a streaming DataFrame —
+    the ingest-pipeline deployment shape (redact before landing).
+    Batch and stream must produce identical rows."""
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    batch = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    batch.coalesce(1).write.parquet(os.path.join(src, "p0"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(os.path.join(src, "*"))
+    )
+    red = pii_redact(stream, "text")
+    out = repetition_stats(red, "doc_id", "text").join(
+        pii_stats(red, "doc_id", "text").select("id", "has_pii"), "id"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clean_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: r for r in spark.sql("SELECT * FROM clean_stream").collect()}
+    red_b = pii_redact(batch, "text")
+    want_rep = {r["id"]: r for r in
+                repetition_stats(red_b, "doc_id", "text").collect()}
+    assert len(got) == len(CORPUS)
+    for i, r in want_rep.items():
+        assert not got[i]["has_pii"]  # redaction happened upstream
+        for c in r.asDict():
+            assert got[i][c] == r[c], (i, c)
