@@ -10,12 +10,13 @@ as ops/textstats.py:
   cost exactly one scan and pipeline with whatever filter follows.
 - The corpus-level op (``boilerplate_lines`` / ``remove_boilerplate``)
   is one line-level groupBy (the unavoidable shuffle — counting how
-  many documents share a line IS a global aggregation) followed by a
-  broadcast anti-join: the surviving boilerplate dictionary is small
-  by construction (only lines above the document-frequency threshold),
-  so the corpus side is never shuffled a second time for the lookup —
-  only the per-document regroup remains, an id-keyed shuffle of the
-  same volume as the input.
+  many documents share a line IS a global aggregation) followed by an
+  anti-join on the 8-byte line hash: the dictionary side carries no
+  line text, and whether it broadcasts is left to Catalyst/AQE — its
+  size depends on the corpus's duplication statistics and the
+  ``min_docs`` threshold (see ``remove_boilerplate``). The
+  per-document regroup remains, an id-keyed shuffle of the same
+  volume as the input.
 
 Reference anchor: the reference engine (sajya/lucene) has no cleaning
 surface — these are the LLM-data-pipeline ops the brief adds, modeled
