@@ -5,8 +5,9 @@ surface: the operations a 100 TB training-data pipeline needs —
 deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine), approximate-nearest-neighbor search (brute-force
 cosine baseline + IVF-bucketed scale path), text analysis (language-ID,
-quality scoring, token counting, fingerprinting) and multimodal binary
-column plumbing.
+quality scoring, token counting, fingerprinting), corpus cleaning
+(PII detect/redact, Gopher repetition stats/filter, boilerplate-line
+removal) and multimodal binary column plumbing.
 
 Everything here is expressed with built-in ``pyspark.sql.functions``
 (higher-order array functions, md5, aggregates) — whole-stage-codegen
@@ -41,8 +42,22 @@ from lucene_spark.ops.textstats import (
     quality_score,
     token_counts,
 )
+from lucene_spark.ops.cleaning import (
+    boilerplate_lines,
+    gopher_repetition_filter,
+    pii_redact,
+    pii_stats,
+    remove_boilerplate,
+    repetition_stats,
+)
 
 __all__ = [
+    "boilerplate_lines",
+    "gopher_repetition_filter",
+    "pii_redact",
+    "pii_stats",
+    "remove_boilerplate",
+    "repetition_stats",
     "pack_sequences",
     "hash_sample",
     "hash_split",
