@@ -34,6 +34,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from lucene_spark.ops.dedup import md5_long, tokens, word_shingles
 
+def _text(text_col: str) -> Column:
+    """NULL text is treated as the empty document everywhere (real
+    corpora have NULL rows; without this, split/regexp propagate NULL
+    through every stat and a NULL doc silently poisons aggregates)."""
+    return F.coalesce(F.col(text_col), F.lit(""))
+
+
 # ---------------------------------------------------------------- PII
 
 # Detection patterns, applied longest-structure-first so redaction of
@@ -63,7 +70,7 @@ def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     an email would have consumed during redaction; ``pii_redact`` is
     the authoritative masking order. One projection, no shuffle.
     """
-    t = F.col(text_col)
+    t = _text(text_col)
     counts = {
         name: F.regexp_count(t, F.lit(pat)) for name, pat in PII_PATTERNS
     }
@@ -86,7 +93,7 @@ def pii_redact(
     this pipelines into the scan that reads the text column.
     """
     out = out_col or text_col
-    c: Column = F.col(text_col)
+    c: Column = _text(text_col)
     for name, pat in PII_PATTERNS:
         c = F.regexp_replace(c, pat, PII_TOKENS[name])
     return df.withColumn(out, c)
@@ -112,7 +119,7 @@ LINE_TRIM_CHARS = " \t\r\x0b\x0c"
 def _nonempty_lines(text_col: str) -> Column:
     return F.filter(
         F.transform(
-            F.split(F.col(text_col), "\n"),
+            F.split(_text(text_col), "\n"),
             lambda l: F.btrim(l, F.lit(LINE_TRIM_CHARS)),
         ),
         lambda l: F.length(l) > 0,
@@ -295,7 +302,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     base = F.struct(
         _nonempty_lines(text_col).alias("lines"),
-        tokens(text_col).alias("toks"),
+        tokens(_text(text_col)).alias("toks"),
     )
     return df.select(
         F.col(id_col).alias("id"),
@@ -409,7 +416,7 @@ def remove_boilerplate(
         dict_keys = F.broadcast(dict_keys)
     raw = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+        F.posexplode(F.split(_text(text_col), "\n", -1)).alias("pos", "line"),
     )
     keyed = raw.withColumn(
         "line_hash", md5_long(F.btrim(F.col("line"), F.lit(LINE_TRIM_CHARS)))

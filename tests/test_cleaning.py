@@ -360,3 +360,23 @@ def test_cleaning_ops_run_on_streams(spark, tmp_path):
         assert not got[i]["has_pii"]  # redaction happened upstream
         for c in r.asDict():
             assert got[i][c] == r[c], (i, c)
+
+
+def test_null_text_is_empty_document(spark):
+    """NULL text rows behave as empty documents in every op instead of
+    propagating NULL through the stats or vanishing from output."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "real line\nreal line")], "doc_id long, text string")
+    r = {x["id"]: x for x in repetition_stats(df, "doc_id", "text").collect()}
+    assert r[1]["n_lines"] == 0 and r[1]["dup_line_frac"] == 0.0
+    assert r[2]["dup_line_frac"] == 0.5  # (2 lines − 1 distinct) / 2
+    p = {x["id"]: x for x in pii_stats(df, "doc_id", "text").collect()}
+    assert p[1]["has_pii"] is False and p[1]["n_email"] == 0
+    red = {x["doc_id"]: x["text"] for x in pii_redact(df, "text").collect()}
+    assert red[1] == ""
+    g = {x["id"]: x["keep"] for x in
+         gopher_repetition_filter(df, "doc_id", "text").collect()}
+    assert g[1] is True  # empty doc trips no repetition threshold
+    rb = {x["id"]: x["text"] for x in
+          remove_boilerplate(df, "doc_id", "text", min_docs=2).collect()}
+    assert rb[1] == "" and rb[2] == "real line\nreal line"
