@@ -9,8 +9,11 @@ into a declarative DataFrame plan that Catalyst executes:
   so row-group stats prune), then one Arrow-batched decode pass
   (numpy varbyte) → rows (qid, doc_id, tf, dl[, positions])
 - boolean algebra: unions + a single groupBy(doc_id) per node computing
-  (sum score, matched count, required-matched count), plus a left-anti
-  join for prohibited clauses — Catalyst/AQE pick the physical join
+  (sum score, matched count, required-matched count, prohibited-hit
+  flag). Prohibited TERMS ride in the same leaf decode with value 0 and
+  are dropped by a max-flag filter — no second scan, no anti-join; only
+  non-term prohibited children (phrases, nested booleans) fall back to
+  a left-anti join (Catalyst/AQE pick the physical join)
 - scoring: literal weight constants computed on the driver from the
   term dictionary (exactly the model's weight math), so the executor
   emits pure column arithmetic (whole-stage codegen, no Python)
@@ -415,7 +418,10 @@ def _uniq_slots(terms: list[Term]) -> tuple[list[Term], list[int]]:
 
 PROHIBITED_BROADCAST_MAX_DF = 2_000_000  # ≈16 MB of doc ids — broadcast
 # the prohibited-set anti-join below this (Σ df bound, driver-known);
-# above it, fall back to the shuffled anti-join (AQE picks the strategy)
+# above it, fall back to the shuffled anti-join (AQE picks the strategy).
+# Only NON-TERM prohibited children (phrases, nested booleans) take this
+# join at all — prohibited TERMS merge into the scorable leaf scan with
+# value 0 and are dropped by the aggregate's max(_pro) flag (round 5)
 
 RANGE_PRUNE_QUANTUM = 64  # docs per conjunction-pruning bucket
 # engage when the rarest required term's docs can cover at most ~1/4 of
@@ -857,34 +863,41 @@ class SparkSearcher:
                     src = _conjunction_restricted_postings(
                         ix, [t for t, _ in scorable] + prohibited, rare
                     )
+            # merged-scan NOT: prohibited terms ride in the SAME leaf
+            # decode with value/boost 0 (zero score contribution). The
+            # aggregate keeps a max-flag `_mp` of "any prohibited term
+            # hit this doc"; filtering `_mp == 0` replaces the old
+            # decode→distinct→anti-join pipeline — one scan, one decode
+            # kernel, one exchange for the whole NOT query (the plan is
+            # now shape-identical to AND). Surviving docs carry no
+            # prohibited rows, so `_m` (coord) and `_s` stay exact;
+            # `_m` still counts only scorable rows for belt-and-braces.
+            n_sc = len(scorable)
             leaf = self._leaf_df(
-                [t for t, _ in scorable], [1.0] * len(scorable), values, mode,
+                [t for t, _ in scorable] + prohibited,
+                [1.0] * n_sc + [0.0] * len(prohibited),
+                values + [0.0] * len(prohibited),
+                mode,
                 src=src,
             )
             req_ids = [
                 i for i, (_t, s) in enumerate(scorable) if s is True or signs is None
             ]
             is_req = F.col("qid").isin(req_ids) if req_ids else F.lit(False)
-            agg = leaf.groupBy("doc_id").agg(
+            aggs = [
                 F.sum("score").alias("_s"),
-                F.count("*").alias("_m"),
+                F.sum((F.col("qid") < n_sc).cast("int")).alias("_m"),
                 F.sum(is_req.cast("int")).alias("_mr"),
-            )
+            ]
+            if prohibited:
+                aggs.append(
+                    F.max((F.col("qid") >= n_sc).cast("int")).alias("_mp")
+                )
+            agg = leaf.groupBy("doc_id").agg(*aggs)
             if req_ids:
                 agg = agg.where(F.col("_mr") == len(req_ids))
             if prohibited:
-                pro = decode_postings(src or ix, prohibited, docs_only=True).select(
-                    "doc_id"
-                ).distinct()
-                # Σ df (driver-known) bounds the prohibited set: broadcast
-                # the anti-join when it fits — removes the exchange that
-                # dominates hot-NOT queries at 10^7+ docs (BASELINE §5.5)
-                if (
-                    sum(ix.doc_freq(t) for t in prohibited)
-                    <= PROHIBITED_BROADCAST_MAX_DF
-                ):
-                    pro = F.broadcast(pro)
-                agg = agg.join(pro, "doc_id", "left_anti")
+                agg = agg.where(F.col("_mp") == 0)
             if mode == "classic":
                 if signs is None:
                     coord = sim.coord(len(q.terms), len(q.terms))
@@ -992,11 +1005,12 @@ class SparkSearcher:
                     "score",
                     F.lit(i).alias("_cid"),
                     F.lit(1 if s is True or signs is None else 0).alias("_req"),
+                    F.lit(0).alias("_pro"),
                 )
                 for i, (df, s) in enumerate(pos)
             ]
             n_req = sum(1 for _df, s in pos if s is True or signs is None)
-            if batch:
+            if batch or pro_batch:
                 b_terms = [sub.term for sub, _s in batch]
                 b_boosts = [sub.boost for sub, _s in batch]
                 if mode == "classic":
@@ -1008,7 +1022,19 @@ class SparkSearcher:
                     b_values = [
                         bm25_idf(ix.doc_freq(t), N) for t in b_terms
                     ]
-                leaf = self._leaf_df(b_terms, b_boosts, b_values, mode, src=src)
+                # merged-scan NOT (same shape as MultiTermQuery above):
+                # prohibited TermQuery children ride in the one batched
+                # decode with value/boost 0 — their rows raise only the
+                # `_pro` flag, replacing the docs-only second scan +
+                # distinct + anti-join.
+                n_b = len(batch)
+                leaf = self._leaf_df(
+                    b_terms + pro_batch,
+                    b_boosts + [0.0] * len(pro_batch),
+                    b_values + [0.0] * len(pro_batch),
+                    mode,
+                    src=src,
+                )
                 req_qids = [i for i, (_sub, s) in enumerate(batch) if s is True]
                 is_req = (
                     F.col("qid").isin(req_qids).cast("int")
@@ -1021,25 +1047,26 @@ class SparkSearcher:
                         "score",
                         (F.col("qid") + F.lit(len(pos))).alias("_cid"),
                         is_req.alias("_req"),
+                        (F.col("qid") >= n_b).cast("int").alias("_pro"),
                     )
                 )
                 n_req += len(req_qids)
-            if pro_batch:
-                pro.append(
-                    decode_postings(src or ix, pro_batch, docs_only=True).select(
-                        "doc_id", F.lit(0.0).alias("score")
-                    )
-                )
-                pq = MultiTermQuery(pro_batch, [None] * len(pro_batch))
-                pro_qs.append(pq)
             un = reduce(lambda a, b: a.unionByName(b), tagged)
-            agg = un.groupBy("doc_id").agg(
+            aggs = [
                 F.sum("score").alias("_s"),
-                F.count("*").alias("_m"),
+                # matched POSITIVE clause count for coord — prohibited
+                # rows must not inflate it (they only exist on docs the
+                # `_mp` filter drops, but keep the algebra exact)
+                F.sum(F.lit(1) - F.col("_pro")).alias("_m"),
                 F.sum("_req").alias("_mr"),
-            )
+            ]
+            if pro_batch:
+                aggs.append(F.max("_pro").alias("_mp"))
+            agg = un.groupBy("doc_id").agg(*aggs)
             if n_req:
                 agg = agg.where(F.col("_mr") == n_req)
+            if pro_batch:
+                agg = agg.where(F.col("_mp") == 0)
             if pro:
                 pro_un = reduce(
                     lambda a, b: a.unionByName(b), [p.select("doc_id") for p in pro]

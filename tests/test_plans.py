@@ -58,11 +58,25 @@ def test_multi_term_single_scan_single_exchange(searcher):
     assert p.count("Exchange hashpartitioning(doc_id") == 1
 
 
-def test_prohibited_set_broadcast_anti_join(searcher):
+def test_prohibited_terms_merge_into_one_scan(searcher):
+    """Merged-scan NOT (round 5): a prohibited TERM must not cost a
+    second postings scan or any join — it rides in the scorable leaf
+    decode with value 0 and is dropped by the max(_pro) flag filter,
+    so the NOT plan is shape-identical to AND."""
     p = _plan(searcher.search("+text:spark -text:merge", k=10))
+    assert "LeftAnti" not in p and "Join" not in p
+    assert p.count("FileScan") == 1
+    assert p.count("MapInPandas") == 1
+    # both terms in ONE pushed-down scan filter
+    assert "spark" in p and "merge" in p
+
+
+def test_prohibited_nonterm_children_keep_anti_join(searcher):
+    """Non-term prohibited children (a phrase) cannot ride the leaf
+    decode — they keep the left-anti join (broadcast under the df
+    bound)."""
+    p = _plan(searcher.search('+text:spark -text:"merge segment"', k=10))
     assert "LeftAnti" in p
-    # df('merge') is far under the broadcast bound → no shuffled anti-join
-    assert "BroadcastHashJoin" in p
 
 
 def test_wand_filter_is_metadata_only(spark_index):

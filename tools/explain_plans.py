@@ -185,10 +185,12 @@ def build_sections(spark, e, sf):
             "bool_not",
             "Boolean NOT (`+table -vector`)",
             s.search("+table -vector", k=10),
-            "Prohibited side decodes doc ids only (no tf/dl streams) "
-            "and is BROADCAST into the left-anti join when its "
-            "driver-known df bound fits (≤2M) — no shuffle of the "
-            "matched side against the prohibited set.",
+            "Merged-scan NOT (round 5): the prohibited term rides in "
+            "the SAME pushed-down scan + decode as the scorable terms "
+            "with value 0, and the aggregate's max(_pro) flag filters "
+            "prohibited docs — one scan, one decode, one exchange, no "
+            "join. Shape-identical to AND; the old second scan + "
+            "distinct + broadcast anti-join is gone.",
         ),
         (
             "wand",
