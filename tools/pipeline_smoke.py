@@ -349,6 +349,7 @@ def run_pipeline(spark, n: int, index_dir: str) -> dict:
         spark, training, index_dir, cfg, order_cols=["conv_id", "turn_idx"]
     )
     out["stages"]["build_index"] = round(time.time() - t0, 1)
+    out["build_timings"] = ix.stats.get("build_timings_sec")
     s = SparkSearcher(ix)
     ix.set_default_search_field("text")
 
