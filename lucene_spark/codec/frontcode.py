@@ -101,25 +101,36 @@ def pack_term_runs(sorted_terms: list[str], block_size: int = TERMS_PER_BLOCK):
     return out
 
 
-def write_dict_blocks(index_or_td, path: str | None = None):
+def write_dict_blocks(index_or_td, path: str | None = None,
+                      assume_sorted: bool = False):
     """Pack a term dictionary into front-coded blocks — rows
     (field, first_term, n_terms, terms_bin). Accepts a SparkIndex or a
     term_dict DataFrame.
 
     Scale shape: one range-repartition + sort of the (field, term)
     columns, then one mapInPandas pass. The explicit repartitionByRange
-    is NOT optional even for an already-sorted term_dict parquet: Spark
-    packs small files into read partitions ordered by file SIZE, so an
-    Arrow batch could concatenate two disjoint term ranges and a packed
-    block at the seam would OVERLAP other blocks' key ranges — the
-    paging reader (terms_from) assumes disjoint, monotonically keyed
-    blocks and would silently skip terms. After the exchange every
-    batch is sorted and batch/partition ranges are disjoint; blocks pack
-    per (batch, field) run in parallel with no per-field single-task
-    collect (edge batches just yield short blocks, which the decoder
-    handles). The block-key table is the ``.tii``-equivalent upper
-    level: small, range-prunable on (field, first_term), pointing into
-    opaque packed blocks."""
+    is NOT optional for a term_dict read back from parquet, even a
+    sorted one: Spark packs small files into read partitions ordered by
+    file SIZE, so an Arrow batch could concatenate two disjoint term
+    ranges and a packed block at the seam would OVERLAP other blocks'
+    key ranges — the paging reader (terms_from) assumes disjoint,
+    monotonically keyed blocks and would silently skip terms. After the
+    exchange every batch is sorted and batch/partition ranges are
+    disjoint; blocks pack per (batch, field) run in parallel with no
+    per-field single-task collect (edge batches just yield short
+    blocks, which the decoder handles). The block-key table is the
+    ``.tii``-equivalent upper level: small, range-prunable on
+    (field, first_term), pointing into opaque packed blocks.
+
+    ``assume_sorted=True`` skips that exchange: only valid when the
+    caller hands a DataFrame whose DECLARED plan already range-
+    partitions AND sorts by (field, term) — e.g. build_index's
+    persisted td, fresh from repartitionByRange().sortWithinPartitions()
+    — so batch/partition range disjointness holds by construction (the
+    file-size repacking hazard above applies to parquet reads, not to
+    an in-plan exchange, and holds even if the persisted data is
+    evicted and recomputed from lineage). At dictionary scale this
+    removes a full shuffle of every term string."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
@@ -156,12 +167,12 @@ def write_dict_blocks(index_or_td, path: str | None = None):
             yield pd.DataFrame(rows, columns=cols)
 
     n = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-    df = (
-        td.select("field", "term")
-        .repartitionByRange(n, "field", "term")
-        .sortWithinPartitions("field", "term")
-        .mapInPandas(pack_batches, schema)
-    )
+    src = td.select("field", "term")
+    if not assume_sorted:
+        src = src.repartitionByRange(n, "field", "term").sortWithinPartitions(
+            "field", "term"
+        )
+    df = src.mapInPandas(pack_batches, schema)
     if path:
         df.repartitionByRange(n, "field", "first_term").sortWithinPartitions(
             "field", "first_term"

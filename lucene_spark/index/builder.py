@@ -1101,7 +1101,12 @@ def build_index(
     # scheduling overhead, so the saved jobs are the saved time.
     from lucene_spark.codec.frontcode import write_dict_blocks
 
-    write_dict_blocks(td, os.path.join(index_dir, "term_dict_fc"))
+    # assume_sorted: td's declared plan IS repartitionByRange + sort on
+    # (field, term) (above), so the fc pass packs straight off those
+    # partitions — no second shuffle of every term string.
+    write_dict_blocks(
+        td, os.path.join(index_dir, "term_dict_fc"), assume_sorted=True
+    )
     td.unpersist()
     _mark("term_dict")
 

@@ -65,3 +65,49 @@ def test_write_dict_blocks_spark(spark_index):
         expected.setdefault(r["field"], []).append(r["term"])
     for f in expected:
         assert by_field[f] == sorted(expected[f])
+
+def test_assume_sorted_parity(spark):
+    """assume_sorted=True over a builder-shaped td (repartitionByRange +
+    sortWithinPartitions on (field, term)) must yield the same decoded
+    dictionary as the default self-shuffling path, with disjoint,
+    monotonically keyed blocks — the invariant terms_from paging relies
+    on (lucene_spark/index/builder.py term_dict phase)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.codec.frontcode import decode_term_block, write_dict_blocks
+
+    # two fields, interleaved unsorted input, enough rows for several
+    # partitions and >1 Arrow batch per partition
+    rng = __import__("random").Random(11)
+    rows = [("text", f"t{rng.randrange(10**9):09d}") for _ in range(9000)]
+    rows += [("title", f"s{rng.randrange(10**6):06d}") for _ in range(3000)]
+    raw = (
+        __import__("pyspark").sql.SparkSession.getActiveSession()
+        or spark
+    ).createDataFrame(rows, "field string, term string").dropDuplicates()
+    td = raw.repartitionByRange(7, "field", "term").sortWithinPartitions(
+        "field", "term"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    try:
+        fast = write_dict_blocks(td, assume_sorted=True).collect()
+        slow = write_dict_blocks(raw).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    def rebuild(blocks):
+        out = {}
+        for r in sorted(blocks, key=lambda r: (r["field"], r["first_term"])):
+            out.setdefault(r["field"], []).extend(decode_term_block(r["terms_bin"]))
+        return out
+
+    assert rebuild(fast) == rebuild(slow)
+    # disjoint + monotone block key ranges per field
+    for fld in ("text", "title"):
+        spans = sorted(
+            (decode_term_block(r["terms_bin"])[0], decode_term_block(r["terms_bin"])[-1])
+            for r in fast
+            if r["field"] == fld
+        )
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert lo1 <= hi1 < lo2
