@@ -64,11 +64,11 @@ def vb_encode_sliced(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
     if v.size == 0:
         return [b""] * max(len(bounds) - 1, 0)
     buf, ends = _vb_pack(v)
-    # value-index bounds → byte offsets
-    byte_off = np.concatenate(([0], ends))[bounds]
-    return [
-        buf[int(a):int(z)] for a, z in zip(byte_off[:-1], byte_off[1:])
-    ]
+    # value-index bounds → byte offsets; tolist() first so the slice
+    # loop runs on Python ints (np-scalar slice indices cost ~2.6× —
+    # this loop runs once per posting block per stream)
+    byte_off = np.concatenate(([0], ends))[bounds].tolist()
+    return [buf[a:z] for a, z in zip(byte_off[:-1], byte_off[1:])]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:
