@@ -513,7 +513,10 @@ def _ft_cogroup_or(spark, sf_dir):
     """`table spark` as a PURE disjunction through the cogroup kernel
     (n_req=0 degenerate case — the bounded-shuffle OR strategy for
     uniform-impact corpora where WAND bounds cannot prune). Same oracle
-    as ft_bool_or restricted to the two terms."""
+    as ft_bool_or restricted to the two terms. Rotated out of the
+    50-slot gate registry in round 5 for dd_spans — the n_req=0 parity
+    is pinned by test_round3.test_cogroup_pure_disjunction_parity and
+    the fuzzer's strategy-agreement dimension."""
     return _cogroup_call(spark, sf_dir, [False, False], [])
 
 
@@ -1341,6 +1344,55 @@ FROM common m
 JOIN sizes sa ON sa.id = m.id_a
 JOIN sizes sb ON sb.id = m.id_b
 WHERE m.cm / (sa.sz + sb.sz - m.cm) >= 0.5
+"""
+
+_SPAN_K = 5
+
+
+def _dd_spans(spark, sf_dir):
+    """Exact-substring duplicated-span stats (ops.spans
+    .duplicated_span_stats, the Lee et al. 2022 op as distributed
+    k-window hashing): per doc, the interval-union size of all 5-token
+    windows whose exact token sequence occurs >= 2 times corpus-wide
+    (within-doc repeats count), the number of maximal covered runs,
+    and the covered fraction."""
+    from lucene_spark.ops.spans import duplicated_span_stats
+
+    out = duplicated_span_stats(
+        _docs(spark, sf_dir), "doc_id", "text", k=_SPAN_K, min_count=2
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.round("dup_frac", 9).alias("dup_frac"),
+    )
+
+
+_DD_SPANS_SQL = f"""
+WITH docs AS (SELECT doc_id AS id, {TOKEN_SQL} AS l FROM documents),
+w AS (
+    SELECT id, i - 1 AS s,
+           concat_ws(' ', {", ".join(f"l[i+{j}]" for j in range(_SPAN_K))}) AS sh
+    FROM docs, LATERAL (SELECT unnest(generate_series(1, len(l) - {_SPAN_K} + 1)) AS i) g
+),
+c AS (SELECT sh FROM w GROUP BY sh HAVING count(*) >= 2),
+d AS (SELECT w.id, w.s FROM w JOIN c USING (sh)),
+m AS (SELECT id, s, s - lag(s) OVER (PARTITION BY id ORDER BY s) AS gap FROM d),
+agg AS (
+    SELECT id,
+           sum(least(coalesce(gap, {_SPAN_K}), {_SPAN_K})) AS dup_tokens,
+           sum(CASE WHEN gap IS NULL OR gap > {_SPAN_K} THEN 1 ELSE 0 END) AS n_spans
+    FROM m GROUP BY id
+)
+SELECT docs.id::BIGINT AS id, len(docs.l)::BIGINT AS n_tokens,
+       coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
+       round(CASE WHEN len(docs.l) > 0
+             THEN coalesce(agg.dup_tokens, 0) / len(docs.l)
+             ELSE 0.0 END, 9) AS dup_frac
+FROM docs LEFT JOIN agg USING (id)
 """
 
 
@@ -2856,7 +2908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_transcripts_bool": _ft_transcripts_bool,
         "ft_phrase_scoped": _ft_phrase_scoped,
         "ft_wand_and": _ft_and_strategies,
-        "ft_cogroup_or": _ft_cogroup_or,
         "ft_and_default": _ft_and_default,
         "ft_presort_limit": _ft_presort_limit,
         "ft_boosted_classic": _ft_boosted_classic,
@@ -2873,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_pairs": _dd_minhash_pairs,
         "dd_clusters": _dd_clusters,
         "dd_ngram_jaccard": _dd_ngram_jaccard,
+        "dd_spans": _dd_spans,
         "dd_simhash": _dd_simhash,
         "dd_contamination": _dd_contamination,
         "ann_topk": _ann_topk_strategies,
@@ -2920,7 +2972,6 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_and": _strategies_sql(
             _FT_WAND_AND_SQL, ["wand", "cogroup"]
         ),
-        "ft_cogroup_or": _FT_COGROUP_OR_SQL,
         "ft_and_default": _FT_AND_SQL,
         "ft_presort_limit": _FT_PRESORT_SQL,
         "ft_boosted_classic": _FT_BOOSTED_SQL,
@@ -2937,6 +2988,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_pairs": _DD_MINHASH_PAIRS_SQL,
         "dd_clusters": _DD_CLUSTERS_SQL,
         "dd_ngram_jaccard": _DD_NGRAM_SQL,
+        "dd_spans": _DD_SPANS_SQL,
         "dd_simhash": _DD_SIMHASH_SQL,
         "dd_contamination": _DD_CONTAM_SQL,
         "ann_topk": _strategies_sql(

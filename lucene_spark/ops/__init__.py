@@ -3,7 +3,8 @@
 These are first-class engine components beyond the reference's search
 surface: the operations a 100 TB training-data pipeline needs —
 deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine), approximate-nearest-neighbor search (brute-force
+embedding-cosine, exact-substring duplicated-span detection/removal),
+approximate-nearest-neighbor search (brute-force
 cosine baseline + IVF-bucketed scale path), text analysis (language-ID,
 quality scoring, token counting, fingerprinting), corpus cleaning
 (PII detect/redact, Gopher repetition stats/filter, boilerplate-line
@@ -42,6 +43,10 @@ from lucene_spark.ops.textstats import (
     quality_score,
     token_counts,
 )
+from lucene_spark.ops.spans import (
+    duplicated_span_stats,
+    remove_duplicated_spans,
+)
 from lucene_spark.ops.cleaning import (
     boilerplate_lines,
     gopher_repetition_filter,
@@ -52,6 +57,8 @@ from lucene_spark.ops.cleaning import (
 )
 
 __all__ = [
+    "duplicated_span_stats",
+    "remove_duplicated_spans",
     "boilerplate_lines",
     "gopher_repetition_filter",
     "pii_redact",

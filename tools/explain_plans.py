@@ -277,6 +277,18 @@ def build_sections(spark, e, sf):
             "One scan, zero exchanges.",
         ),
         (
+            "dup_spans",
+            "Exact-substring duplicated-span stats (k-window hashing)",
+            _spans_df(docs),
+            "Round 5 (Lee et al. exact-substring dedup, distributed): "
+            "one window inventory per corpus token, a map-side-combined "
+            "count on the 64-bit window hash (a corpus-hot boilerplate "
+            "window only makes a big COUNT — never a pair explosion, "
+            "contrast the LSH bucket join), a leftsemi join back, and "
+            "one id-keyed exchange for the interval-union window "
+            "functions. Every stage linear in corpus tokens.",
+        ),
+        (
             "boilerplate",
             "Boilerplate-line removal (corpus-level dictionary)",
             _boilerplate_df(docs),
@@ -294,6 +306,12 @@ def _gopher_df(docs):
     from lucene_spark.ops.cleaning import gopher_repetition_filter
 
     return gopher_repetition_filter(docs, "doc_id", "text").where("keep")
+
+
+def _spans_df(docs):
+    from lucene_spark.ops.spans import duplicated_span_stats
+
+    return duplicated_span_stats(docs, "doc_id", "text", k=5)
 
 
 def _boilerplate_df(docs):
