@@ -167,9 +167,12 @@ def remove_duplicated_spans(
     come back tokenized (stable shape for downstream training
     pipelines); compare ``removed_tokens > 0`` to find rewritten docs.
 
-    Plan adds to the stats op: one rank window on the hash (keep_first)
-    and one posexplode + anti-join + ordered re-aggregation on id.
-    Linear in corpus tokens; no pair materialization anywhere.
+    Plan adds to the stats op: one min(struct) aggregation on the hash
+    (keep_first) and one id-keyed interval merge whose output is ONE
+    small interval-list row per affected doc — the token arrays are
+    never exploded or shuffled; covered tokens are dropped by an
+    index-aware Catalyst array filter at scan time. Linear in corpus
+    tokens; no pair materialization anywhere.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -196,26 +199,36 @@ def remove_duplicated_spans(
         )
     else:
         removal = dup_occ.select("id", "start")
-    covered = removal.select(
-        "id", F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("idx")
-    ).distinct()
-    tok = docs.select("id", "n_tokens", F.posexplode("toks").alias("idx", "tok"))
-    kept = tok.join(covered, ["id", "idx"], "leftanti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # Merge removal windows into per-doc maximal [s, e) intervals FIRST
+    # (lag window + run-sum over the id-keyed removal rows — a tiny
+    # table, one row per duplicated-window occurrence), then hand each
+    # doc its interval list and drop covered tokens with an index-aware
+    # array filter. The token table itself is never exploded or
+    # shuffled: the only per-token work is a map-side Catalyst lambda,
+    # so the rewrite costs one scan + small-side shuffles regardless of
+    # corpus token count.
+    w = Window.partitionBy("id").orderBy("start")
+    gap = F.col("start") - F.lag("start").over(w)
+    runs = (
+        removal.withColumn(
+            "run", F.sum(F.when(gap.isNull() | (gap > k), 1).otherwise(0)).over(w)
+        )
+        .groupBy("id", "run")
+        .agg(F.min("start").alias("s"), (F.max("start") + k).alias("e"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("iv"))
     )
-    return docs.join(rebuilt, "id", "left").select(
-        "id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("removed_tokens"),
+    idx_in = lambda i: lambda v: (i >= v["s"]) & (i < v["e"])  # noqa: E731
+    kept_col = F.when(F.col("iv").isNull(), F.col("toks")).otherwise(
+        F.filter("toks", lambda t, i: ~F.exists("iv", idx_in(i)))
+    )
+    return (
+        docs.join(runs, "id", "left")
+        .withColumn("_kept", kept_col)
+        .select(
+            "id",
+            F.array_join("_kept", " ").alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("removed_tokens"),
+        )
     )
