@@ -1,12 +1,14 @@
 """The end-to-end composition property, in the suite: every major
 subsystem (sessionize → PII redact → boilerplate removal → token
-filter → MinHash LSH dedup → lang-ID → index build → search) chained
-over ONE corpus whose every stage output has a closed form — the
-small-n twin of `tools/pipeline_smoke.py` (measured at 4M docs in
-BASELINE §9.23). All asserts live inside ``run_pipeline``; planted
-needle terms prove the set algebra end to end (a needle hidden in a
-redacted email must be unsearchable, a deduped family yields exactly
-one hit, junk/boilerplate never reach the index)."""
+filter → exact-substring span dedup → MinHash LSH dedup → lang-ID →
+index build → search) chained over ONE corpus whose every stage output
+has a closed form — the small-n twin of `tools/pipeline_smoke.py`
+(measured at 4M docs in BASELINE §9.23). All asserts live inside
+``run_pipeline``; planted needle terms prove the set algebra end to
+end (a needle hidden in a redacted email must be unsearchable, a
+deduped family yields exactly one hit, the shared disclaimer paragraph
+survives in exactly its global-first doc, junk/boilerplate never reach
+the index)."""
 
 import os
 import sys

@@ -10,6 +10,10 @@ pipeline's set algebra end to end.
       → remove_boilerplate        (shared lines stripped; dup-family
                                    lines below min_docs survive)
       → token-count filter        (junk turns dropped)
+      → span dedup                (exact-substring: a shared 20-token
+                                   disclaimer stripped everywhere but
+                                   its global-first doc; k=19 provably
+                                   can't touch the ≤18-token families)
       → MinHash LSH dedup         (identical families → one canonical,
                                    bucket-skew cap on, zero false merges)
       → lang_id_ngram             (labels the surviving canonicals)
@@ -40,7 +44,10 @@ every stage's output has a closed form (n must be a multiple of
                               with id%20==5 and (id//20)%1000==0 also
                               carry the needle phrase
                               "amber kite floats zephyrquill ..." and
-                              must ALL surface.
+                              must ALL surface; ids with id%20==6 and
+                              (id//20)%500==0 append the shared
+                              20-token DISCLAIMER (needle: quillnova)
+                              that span dedup strips keep-first.
 
 Orthogonally, ids with id%10 < 3 (all in the unique class) prepend a
 shared newsletter line: boilerplate_lines must find exactly {newsletter,
@@ -55,6 +62,8 @@ Expected search results over the final index (default field ``text``):
                                 ∪ {155} (family-7 canonical)
   text:"amber kite floats"    → the unique needles only
   +zephyrquill -amber         → exactly {155}
+  text:quillnova              → exactly {6} (the kept disclaimer copy;
+                                ids ≡ 6 mod 10,000 carried it going in)
 
 Usage: python tools/pipeline_smoke.py [n]     (default 4_000_000)
 Prints one JSON line; paste into BASELINE.md.
@@ -86,6 +95,10 @@ from lucene_spark.ops.dedup import (  # noqa: E402
     dedup_keep_canonical,
     minhash_lsh_pairs,
 )
+from lucene_spark.ops.spans import (  # noqa: E402
+    duplicated_span_stats,
+    remove_duplicated_spans,
+)
 from lucene_spark.ops.textstats import lang_id_ngram, token_counts  # noqa: E402
 from lucene_spark.search.executor import SparkSearcher  # noqa: E402
 from lucene_spark.session import get_spark  # noqa: E402
@@ -100,6 +113,18 @@ GAP_MS = 90_000
 
 NEWSLETTER = "subscribe to our newsletter today for exclusive updates"
 JUNK_LINE = "filler filler filler"
+# A 20-token disclaimer paragraph (needle: quillnova) appended to ids
+# ≡ 6 (mod 10,000) — the exact-substring span-dedup stage must strip
+# every copy but the global first (doc 6). SPAN_K = 19 sits ABOVE the
+# family texts' ≤18 tokens, so span dedup provably cannot touch the
+# LSH stage's duplicate families; the disclaimer (20 tokens ≥ k) is
+# the only duplicated window source in the whole corpus.
+DISCLAIMER = (
+    "this content is provided under the standard corpus license "
+    "agreement quillnova revision four all rights reserved by the "
+    "publisher inc"
+)
+SPAN_K = 19
 # Family texts are 16 words hash-picked from a per-language vocabulary:
 # char-trigram language ID is word-order-blind, so a "word salad" still
 # classifies, while the 3-shingle sets of two families are disjoint with
@@ -183,6 +208,10 @@ def synth(spark, n: int) -> DataFrame:
             ),
         )
         .when(is_needle, F.concat(hash_toks, F.lit(" " + NEEDLE_SUFFIX)))
+        .when(
+            (cls == 6) & (((oid / 20).cast("long") % 500) == 0),
+            F.concat(hash_toks, F.lit(" " + DISCLAIMER)),
+        )
         .otherwise(hash_toks)
     )
     text = F.when(
@@ -279,10 +308,36 @@ def run_pipeline(spark, n: int, index_dir: str) -> dict:
     assert n_kept == n - n // 20, f"kept {n_kept}, expected {n - n // 20}"
     cleaned.unpersist()
 
-    # ---- 5. MinHash LSH dedup (families → exactly one canonical each)
+    # ---- 5. exact-substring span dedup (disclaimer → one kept copy)
+    t0 = time.time()
+    m_disc = n // 10_000  # docs carrying the 20-token disclaimer
+    exp_dup = m_disc if m_disc >= 2 else 0
+    sp = duplicated_span_stats(kept, "id", "text", k=SPAN_K).agg(
+        F.count(F.when(F.col("dup_tokens") > 0, 1)).alias("d"),
+        F.coalesce(F.sum("dup_tokens"), F.lit(0)).alias("s"),
+        F.coalesce(F.sum("n_spans"), F.lit(0)).alias("sp"),
+    ).collect()[0]
+    assert sp["d"] == exp_dup, f"span-dup docs {sp['d']}, expected {exp_dup}"
+    assert sp["s"] == 20 * exp_dup, f"covered tokens {sp['s']}"
+    assert sp["sp"] == exp_dup, f"span count {sp['sp']}"
+    despanned = (
+        remove_duplicated_spans(kept, "id", "text", k=SPAN_K)
+        .select("id", F.col("clean_text").alias("text"), "removed_tokens")
+        .persist()
+    )
+    n_desp = despanned.count()
+    removed = despanned.agg(F.sum("removed_tokens")).collect()[0][0]
+    out["stages"]["span_dedup"] = round(time.time() - t0, 1)
+    assert n_desp == n_kept, "span removal must preserve every doc"
+    exp_removed = 20 * (m_disc - 1) if m_disc >= 2 else 0
+    assert removed == exp_removed, f"removed {removed}, expected {exp_removed}"
+    despanned = despanned.drop("removed_tokens")
+    kept.unpersist()
+
+    # ---- 6. MinHash LSH dedup (families → exactly one canonical each)
     t0 = time.time()
     pairs = minhash_lsh_pairs(
-        kept, "id", "text", threshold=0.9, max_bucket_size=64
+        despanned, "id", "text", threshold=0.9, max_bucket_size=64
     ).persist()
     comps = connected_components(pairs).persist()
     sizes = {
@@ -296,7 +351,7 @@ def run_pipeline(spark, n: int, index_dir: str) -> dict:
         .collect()
     }
     stray = comps.where(~(F.col("id") % 20).isin(15, 16, 17)).count()
-    survivors = dedup_keep_canonical(kept, pairs, "id").persist()
+    survivors = dedup_keep_canonical(despanned, pairs, "id").persist()
     n_surv = survivors.count()
     out["stages"]["minhash_dedup"] = round(time.time() - t0, 1)
     assert sizes == {members: N_FAMILIES}, f"component sizes: {sizes}"
@@ -304,9 +359,9 @@ def run_pipeline(spark, n: int, index_dir: str) -> dict:
     assert n_surv == 4 * n // 5 + N_FAMILIES, n_surv
     pairs.unpersist()
     comps.unpersist()
-    kept.unpersist()
+    despanned.unpersist()
 
-    # ---- 6. language ID over the surviving family canonicals
+    # ---- 7. language ID over the surviving family canonicals
     t0 = time.time()
     canon = survivors.where((F.col("id") % 20).isin(15, 16, 17))
     labels = {
@@ -329,7 +384,7 @@ def run_pipeline(spark, n: int, index_dir: str) -> dict:
     assert es_acc >= 0.9, f"es accuracy {es_acc} below the 0.9 bar"
     assert en_acc >= 0.9, f"en accuracy {en_acc} below the 0.9 bar"
 
-    # ---- 7. index the training set, search the needles
+    # ---- 8. index the training set, search the needles
     t0 = time.time()
     training = survivors.withColumnRenamed("id", "oid").join(
         raw.select("oid", "conv_id", "turn_idx", "role", "tool", "ts"),
@@ -375,6 +430,11 @@ def run_pipeline(spark, n: int, index_dir: str) -> dict:
     got, out["queries"]["not"] = hit_oids("+zephyrquill -amber")
     assert got == {fam7_canonical}, (
         f"NOT query must hit only the family-7 canonical, got {got}"
+    )
+    got, out["queries"]["disclaimer"] = hit_oids("text:quillnova")
+    assert got == {6}, (
+        f"span dedup must leave the disclaimer searchable ONLY in the "
+        f"global-first doc 6, got {got}"
     )
 
     survivors.unpersist()
