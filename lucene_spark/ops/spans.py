@@ -22,7 +22,7 @@ threshold by definition, same as the suffix-array length cutoff).
 
 Scale shape (100 TB): the window inventory has ~one row per corpus
 token; its two shuffles are (1) a map-side-combinable count on the
-64-bit window hash — uniformly distributed regardless of how hot the
+120-bit window hash — uniformly distributed regardless of how hot the
 duplicated content is, a hot window only makes a big COUNT, never a
 pair explosion — and (2) a re-group on doc id for the interval union,
 which is pure window functions / aggregation. Nothing is quadratic in
@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lucene_spark.ops.dedup import md5_long, tokens, word_shingles
+from lucene_spark.ops.dedup import tokens, word_shingles
 
 __all__ = [
     "duplicated_span_stats",
@@ -47,18 +47,41 @@ def _window_occurrences(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
     """(docs, occ): docs = (id, toks, n_tokens); occ = one row per
-    k-token window occurrence (id, start, h) with h = 60-bit md5 of the
-    space-joined window (the hash primitive shared with the SQL
-    oracle). ``start`` is the 0-based token index of the window."""
+    k-token window occurrence (id, start, h1, h2) where (h1, h2) are
+    two disjoint 60-bit slices of the window's md5 — 120 key bits.
+    ``start`` is the 0-based token index of the window.
+
+    Why 120 and not dedup.py's single 60-bit ``md5_long``: this op's
+    semantics are EXACT (a false hash merge silently deletes innocent
+    text in remove_duplicated_spans), and 60 bits birthday-collide
+    right where this engine operates — the 40M-doc smoke (~0.9e9
+    windows) measured exactly one collision (+2 falsely-duplicated
+    docs) on the 60-bit key, as the math predicts (~0.35 expected).
+    At 120 bits the expected collision count stays ~4e-13 even at a
+    trillion windows. The probabilistic dedup sketches (MinHash,
+    SimHash) keep the 8-byte key: a collision there is recall noise,
+    not a correctness break, and candidates are Jaccard-verified."""
     docs = df.select(
         F.col(id_col).alias("id"),
         tokens(text_col).alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
-    occ = docs.select(
-        "id",
-        F.posexplode(word_shingles(F.col("toks"), k)).alias("start", "w"),
-    ).select("id", "start", md5_long(F.col("w")).alias("h"))
+    occ = (
+        docs.select(
+            "id",
+            F.posexplode(word_shingles(F.col("toks"), k)).alias("start", "w"),
+        )
+        .withColumn("_md5", F.md5(F.col("w")))
+        .select(
+            "id",
+            "start",
+            F.conv(F.substring("_md5", 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("_md5", 16, 15), 16, 10).cast("long").alias("h2"),
+        )
+    )
     return docs, occ
+
+
+_HK = ["h1", "h2"]  # the 120-bit window key
 
 
 def _dup_window_hashes(occ: DataFrame, min_count: int) -> DataFrame:
@@ -66,10 +89,10 @@ def _dup_window_hashes(occ: DataFrame, min_count: int) -> DataFrame:
     doc repeats count: a paragraph pasted twice in ONE document is a
     duplicated span, exactly as a suffix array would report it)."""
     return (
-        occ.groupBy("h")
+        occ.groupBy(*_HK)
         .agg(F.count(F.lit(1)).alias("wc"))
         .where(F.col("wc") >= min_count)
-        .select("h")
+        .select(*_HK)
     )
 
 
@@ -123,7 +146,7 @@ def duplicated_span_stats(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     docs, occ = _window_occurrences(df, id_col, text_col, k)
-    dupw = occ.join(_dup_window_hashes(occ, min_count), "h", "leftsemi")
+    dupw = occ.join(_dup_window_hashes(occ, min_count), _HK, "leftsemi")
     stats = _merge_cover(dupw, k)
     return docs.join(stats, "id", "left").select(
         "id",
@@ -179,18 +202,18 @@ def remove_duplicated_spans(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     docs, occ = _window_occurrences(df, id_col, text_col, k)
-    dup_occ = occ.join(_dup_window_hashes(occ, min_count), "h", "leftsemi")
+    dup_occ = occ.join(_dup_window_hashes(occ, min_count), _HK, "leftsemi")
     if keep_first:
         # min(struct) instead of a row_number window: a corpus-hot
         # window (boilerplate in millions of docs) makes its h-group
         # huge, and a rank sort over that partition cannot be split —
         # the partial-aggregated min and the subsequent join both can
         # (AQE skew split applies to the join).
-        firsts = dup_occ.groupBy("h").agg(
+        firsts = dup_occ.groupBy(*_HK).agg(
             F.min(F.struct("id", "start")).alias("first_occ")
         )
         removal = (
-            dup_occ.join(firsts, "h")
+            dup_occ.join(firsts, _HK)
             .where(
                 (F.col("id") != F.col("first_occ.id"))
                 | (F.col("start") != F.col("first_occ.start"))

@@ -34,6 +34,11 @@ Closed forms (N forced to a multiple of 350):
 
 Usage: python tools/spans_smoke.py [n_docs]   (default 20_000_000)
 Prints one JSON line; paste into BASELINE.md.
+
+Local-mode memory: at 40M docs (~1B windows) the 32 concurrent
+count-stage tasks share ONE driver heap — set SPARK_DRIVER_MEM=32g
+(the get_spark default of 8g OOMs in stage 5 around 30M+). On a real
+cluster this pressure is per-executor and the aggregation spills.
 """
 
 from __future__ import annotations
@@ -111,9 +116,11 @@ def main():
         agg["sum_spans"], nA + 2 * nB - nAB,
     )  # the A∩B adjacent-run merge
 
-    # --- keep-first removal -------------------------------------------
+    # --- keep-first removal (persisted: the re-scan below must time
+    # the scan of the CLEANED corpus, not a lazy recompute of the whole
+    # removal pipeline) ------------------------------------------------
     t0 = time.time()
-    cleaned = remove_duplicated_spans(docs, "doc_id", "text", k=K)
+    cleaned = remove_duplicated_spans(docs, "doc_id", "text", k=K).persist()
     row = cleaned.agg(
         F.count("*").alias("n"),
         F.sum("removed_tokens").alias("removed"),
